@@ -1,0 +1,26 @@
+from setuptools import setup, find_packages
+
+exec(open("coolpuppy_tpu/_version.py").read())
+
+setup(
+    name="coolpuppy-tpu",
+    version=__version__,  # noqa: F821
+    description="TPU-native sparse pile-up (APA) engine for Hi-C data",
+    packages=find_packages(include=["coolpuppy_tpu", "coolpuppy_tpu.*"]),
+    python_requires=">=3.10",
+    install_requires=[
+        "numpy",
+        "pandas",
+        "scipy",
+        "h5py",
+        "jax",
+        "matplotlib",
+    ],
+    entry_points={
+        "console_scripts": [
+            "coolpup-tpu = coolpuppy_tpu.cli.coolpup_cli:main",
+            "plotpup-tpu = coolpuppy_tpu.cli.plotpup_cli:main",
+            "dividepups-tpu = coolpuppy_tpu.cli.dividepups_cli:main",
+        ]
+    },
+)

@@ -1,0 +1,143 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from coolpuppy_tpu.io import (
+    Cooler,
+    write_cool,
+    read_viewframe_from_file,
+    validate_csv,
+    save_array_with_header,
+    load_array_with_header,
+)
+from coolpuppy_tpu.genomics import make_viewframe, natsorted, sort_bedframe
+
+from fixtures import make_toy_cooler, toy_regions, MM9_TOY_CHROMSIZES
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cool") / "toy.cool"
+    return make_toy_cooler(str(path))
+
+
+def test_cooler_metadata(toy):
+    clr, dense, weights = toy
+    assert clr.binsize == 1_000_000
+    assert clr.chromnames == ["chr1", "chr2"]
+    assert clr.chromsizes["chr1"] == MM9_TOY_CHROMSIZES["chr1"]
+    assert clr.n_bins == 198 + 182
+    assert clr.offset("chr2") == 198
+    assert clr.extent(("chr1", 100_000_000, 150_000_000)) == (100, 150)
+
+
+def test_fetch_raw_cis(toy):
+    clr, dense, weights = toy
+    reg = ("chr1", 100_000_000, 150_000_000)
+    mat = clr.matrix(sparse=True, balance=False).fetch(reg).toarray()
+    np.testing.assert_allclose(mat, dense[("chr1", "chr1")][100:150, 100:150])
+
+
+def test_fetch_raw_offdiag_rect(toy):
+    clr, dense, weights = toy
+    m = (
+        clr.matrix(sparse=True, balance=False)
+        .fetch(("chr1", 10_000_000, 30_000_000), ("chr1", 20_000_000, 60_000_000))
+        .toarray()
+    )
+    np.testing.assert_allclose(m, dense[("chr1", "chr1")][10:30, 20:60])
+
+
+def test_fetch_balanced(toy):
+    clr, dense, weights = toy
+    reg = ("chr1", 0, 50_000_000)
+    m = clr.matrix(sparse=True, balance="weight").fetch(reg).toarray()
+    w = np.nan_to_num(weights[0:50])
+    expect = dense[("chr1", "chr1")][0:50, 0:50] * np.outer(w, w)
+    np.testing.assert_allclose(m, expect)
+    isnan = clr.bad_bin_mask(reg)
+    np.testing.assert_array_equal(isnan, np.isnan(weights[0:50]))
+
+
+def test_fetch_trans(toy):
+    clr, dense, weights = toy
+    m = (
+        clr.matrix(sparse=True, balance=False)
+        .fetch(("chr1", 0, 50_000_000), ("chr2", 10_000_000, 20_000_000))
+        .toarray()
+    )
+    np.testing.assert_allclose(m, dense[("chr1", "chr2")][0:50, 10:20])
+    # and the transposed query
+    m2 = (
+        clr.matrix(sparse=True, balance=False)
+        .fetch(("chr2", 10_000_000, 20_000_000), ("chr1", 0, 50_000_000))
+        .toarray()
+    )
+    np.testing.assert_allclose(m2, m.T)
+
+
+def test_bins_fetch(toy):
+    clr, dense, weights = toy
+    w = clr.bins()["weight"].fetch(("chr2", 0, 5_000_000)).values
+    np.testing.assert_allclose(w, weights[198:203], equal_nan=True)
+    assert "weight" in clr.bins().columns
+
+
+def test_natsort_and_viewframe():
+    assert natsorted(["chr10", "chr2", "chr1"]) == ["chr1", "chr2", "chr10"]
+    vf = make_viewframe(toy_regions())
+    assert list(vf["name"]) == ["foo", "bar"]
+    vf3 = make_viewframe(toy_regions()[["chrom", "start", "end"]])
+    assert vf3["name"][0] == "chr1:100000000-150000000"
+
+
+def test_sort_bedframe():
+    df = pd.DataFrame(
+        {
+            "chrom": ["chr10", "chr2", "chr2"],
+            "start": [5, 10, 1],
+            "end": [6, 11, 2],
+        }
+    )
+    out = sort_bedframe(df)
+    assert list(out["chrom"]) == ["chr2", "chr2", "chr10"]
+    assert list(out["start"]) == [1, 10, 5]
+
+
+def test_viewframe_from_file(tmp_path, toy):
+    clr, _, _ = toy
+    p = tmp_path / "regions.bed"
+    toy_regions().to_csv(p, sep="\t", header=False, index=False)
+    vf = read_viewframe_from_file(str(p), verify_cooler=clr)
+    assert list(vf["name"]) == ["foo", "bar"]
+
+
+def test_validate_csv(tmp_path):
+    p = tmp_path / "exp.tsv"
+    p.write_text("x\n")
+    assert validate_csv(f"{p}::balanced.avg") == (str(p), "balanced.avg")
+    assert validate_csv(str(p)) == (str(p), "balanced.avg")
+    with pytest.raises(ValueError):
+        validate_csv("/nonexistent/exp.tsv")
+
+
+def test_txt_header_roundtrip(tmp_path):
+    p = tmp_path / "arr.txt"
+    arr = np.arange(9, dtype=float).reshape(3, 3)
+    header = {
+        "flank": 100000,
+        "local": False,
+        "score": 1.5,
+        "maxdist": np.inf,
+        "groupby": ["strand1", "strand2"],
+        "expected": None,
+        "cool": "some.cool",
+    }
+    save_array_with_header(arr, header, str(p))
+    out = load_array_with_header(str(p))
+    np.testing.assert_allclose(out.pop("data"), arr)
+    assert out["flank"] == 100000
+    assert out["local"] is False
+    assert out["maxdist"] == np.inf
+    assert out["groupby"] == ["strand1", "strand2"]
+    assert out["expected"] is None
