@@ -1,0 +1,513 @@
+"""Vectorized coordinate engine.
+
+The counterpart of the reference's `CoordCreator` (reference
+coolpup.py:150–749), re-designed for a device pipeline: instead of a Python
+generator of per-snip dicts, it yields *batches* — DataFrames built by
+vectorized numpy/pandas ops — which the engine lowers to integer index arrays
+for the device gather kernel. Enumeration of all-vs-all BED combinations is a
+k-th-superdiagonal sweep like the reference (coolpup.py:682–714) but vectorized
+per chunk and with early termination once the k-diagonal's minimum pair
+distance exceeds ``maxdist`` (valid because centers are sorted; the reference
+enumerates all O(N²) pairs regardless).
+"""
+
+from __future__ import annotations
+
+import warnings
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from .genomics.intervals import (
+    expand_intervals,
+    expand_intervals_2d,
+    natsorted,
+)
+
+DEFAULT_BAND_EDGES = np.append([0], 50000 * 2 ** np.arange(30))
+
+
+def bin_distance_intervals(intervals, band_edges="default"):
+    """Annotate a 'distance_band' (lo, hi) tuple per row from 'distance'
+    (reference coolpup.py:28–51)."""
+    if isinstance(band_edges, str) and band_edges == "default":
+        band_edges = DEFAULT_BAND_EDGES
+    band_edges = np.asarray(band_edges)
+    edge_ids = np.searchsorted(band_edges, intervals["distance"], side="right")
+    intervals["distance_band"] = [
+        tuple(band_edges[i - 1 : i + 1]) for i in edge_ids
+    ]
+    return intervals
+
+
+def assign_groups(intervals, groupby=None):
+    """Add a 'group' column — 'all' or the tuple of groupby values
+    (reference coolpup.py:54–75)."""
+    if not groupby:
+        intervals["group"] = "all"
+    else:
+        intervals["group"] = list(
+            zip(*(intervals[col] for col in groupby))
+        )
+    return intervals
+
+
+def flip_mark_intervals(intervals, flipby, flip_negative_strand):
+    """Mark snips to flip: negative strand1, or group order
+    ``flipby1 > flipby2`` (reference coolpup.py:118–125)."""
+    if flip_negative_strand:
+        intervals["flip"] = intervals["strand1"] == "-"
+    else:
+        intervals["flip"] = intervals[f"{flipby}1"] > intervals[f"{flipby}2"]
+    return intervals
+
+
+def swap_paired_columns_for_flipped(intervals, exclude_bases=()):
+    """For rows marked flip=True, swap every paired column base1/base2 —
+    the vectorized analog of the snip-dict swap in reference
+    coolpup.py:128–147 (which swaps all paired keys after snipping). Bin
+    coordinates used for gathering are excluded: the gather uses the original
+    orientation plus an in-kernel anti-transpose."""
+    flip = intervals["flip"].values.astype(bool)
+    if not flip.any():
+        return intervals
+    cols = set(intervals.columns)
+    bases = sorted(
+        {
+            c[:-1]
+            for c in cols
+            if c.endswith("1") and (c[:-1] + "2") in cols and c[:-1] not in exclude_bases
+        }
+    )
+    for base in bases:
+        a, b = intervals[base + "1"].values.copy(), intervals[base + "2"].values.copy()
+        av, bv = a.copy(), b.copy()
+        av[flip], bv[flip] = b[flip], a[flip]
+        intervals[base + "1"] = av
+        intervals[base + "2"] = bv
+    return intervals
+
+
+class CoordCreator:
+    """Same constructor surface as the reference CoordCreator
+    (reference coolpup.py:151–257)."""
+
+    def __init__(
+        self,
+        features,
+        resolution,
+        *,
+        features_format="auto",
+        flank=100000,
+        rescale_flank=None,
+        chroms="all",
+        minshift=10**5,
+        maxshift=10**6,
+        nshifts=10,
+        mindist="auto",
+        maxdist=None,
+        local=False,
+        subset=0,
+        trans=False,
+        seed=None,
+        chunk_size=262_144,
+    ):
+        self.intervals = features.copy()
+        self.resolution = int(resolution)
+        self.features_format = features_format
+        self.flank = flank
+        self.rescale_flank = rescale_flank
+        self.chroms = chroms
+        self.minshift = minshift
+        self.maxshift = maxshift
+        self.nshifts = nshifts
+        self.trans = trans
+        self.chunk_size = int(chunk_size)
+        if mindist == "auto":
+            self.mindist = 2 * self.flank + 2 * self.resolution
+        else:
+            self.mindist = mindist
+            if self.trans:
+                warnings.warn("Ignoring mindist when using trans", stacklevel=2)
+                self.mindist = 0
+        if maxdist is None:
+            self.maxdist = np.inf
+        else:
+            self.maxdist = maxdist
+            if self.trans:
+                warnings.warn("Ignoring maxdist when using trans", stacklevel=2)
+                self.maxdist = np.inf
+        self.local = local
+        self.subset = subset
+        self.seed = seed
+        self.process()
+
+    # -- preprocessing (reference coolpup.py:259–385) ----------------------
+
+    def process(self):
+        if self.features_format in (None, "auto"):
+            if {"chrom1", "start1", "end1", "chrom2", "start2", "end2"}.issubset(
+                self.intervals.columns
+            ):
+                self.kind = "bedpe"
+            elif {"chrom", "start", "end"}.issubset(self.intervals.columns):
+                self.kind = "bed"
+            else:
+                raise ValueError(
+                    "Can't determine kind of input; name columns "
+                    "chrom/start/end (bed) or chrom1/.../end2 (bedpe)"
+                )
+        else:
+            self.kind = self.features_format
+
+        if self.subset > 0:
+            self.intervals = self._subset(self.intervals)
+
+        if self.kind == "bed":
+            assert {"chrom", "start", "end"}.issubset(self.intervals.columns)
+            self.intervals["chrom"] = self.intervals["chrom"].astype(str)
+            self.intervals["center"] = (
+                self.intervals["start"] + self.intervals["end"]
+            ) / 2
+            self.intervals = expand_intervals(
+                self.intervals, self.flank, self.resolution, self.rescale_flank
+            )
+        else:
+            assert {
+                "chrom1",
+                "start1",
+                "end1",
+                "chrom2",
+                "start2",
+                "end2",
+            }.issubset(self.intervals.columns)
+            for c in ("chrom1", "chrom2"):
+                self.intervals[c] = self.intervals[c].astype(str)
+            self.intervals["center1"] = (
+                self.intervals["start1"] + self.intervals["end1"]
+            ) / 2
+            self.intervals["center2"] = (
+                self.intervals["start2"] + self.intervals["end2"]
+            ) / 2
+            self.intervals["distance"] = (
+                self.intervals["center2"] - self.intervals["center1"]
+            )
+            dist = self.intervals["distance"].abs()
+            self.intervals = self.intervals[
+                (self.mindist <= dist) & (dist <= self.maxdist)
+            ].reset_index(drop=True)
+            self.intervals = expand_intervals_2d(
+                self.intervals, self.flank, self.resolution, self.rescale_flank
+            )
+
+        if self.intervals.shape[0] == 0:
+            warnings.warn(
+                "No regions in features (maybe all below mindist?), "
+                "returning empty output",
+                stacklevel=2,
+            )
+            self.final_chroms = []
+            self.empty = True
+            return
+        self.empty = False
+
+        if self.kind == "bed":
+            basechroms = set(self.intervals["chrom"])
+        else:
+            if self.local:
+                raise ValueError("Can't make local with both sides of loops defined")
+            if self.trans:
+                basechroms = set(self.intervals["chrom1"]) | set(
+                    self.intervals["chrom2"]
+                )
+            else:
+                basechroms = set(self.intervals["chrom1"]) & set(
+                    self.intervals["chrom2"]
+                )
+        self.basechroms = natsorted(basechroms)
+        if self.chroms == "all":
+            self.final_chroms = natsorted(basechroms)
+        else:
+            self.final_chroms = natsorted(set(self.chroms) & set(self.basechroms))
+        if len(self.final_chroms) == 0:
+            raise ValueError(
+                "No chromosomes are in common between the coordinate "
+                "file and the cooler file"
+            )
+
+        if self.trans and self.local:
+            raise ValueError("Cannot do local with trans=True")
+
+        self.intervals = self._binnify(self.intervals)
+
+    def _subset(self, df):
+        if self.subset > 0 and self.subset < len(df):
+            return df.sample(self.subset, random_state=self.seed)
+        return df
+
+    def _binnify(self, intervals):
+        """Snap expanded intervals to the bin grid (reference
+        coolpup.py:489–527)."""
+        res = self.resolution
+        if self.kind == "bed":
+            intervals = intervals.sort_values(["chrom", "start"]).reset_index(
+                drop=True
+            )
+            intervals["stBin"] = np.floor(intervals["exp_start"] / res).astype(int)
+            intervals["endBin"] = np.ceil(intervals["exp_end"] / res).astype(int)
+            intervals["exp_start"] = intervals["stBin"] * res
+            intervals["exp_end"] = intervals["endBin"] * res
+        else:
+            intervals = intervals.sort_values(
+                ["chrom1", "chrom2", "start1", "start2"]
+            ).reset_index(drop=True)
+            for side in ("1", "2"):
+                intervals[f"stBin{side}"] = np.floor(
+                    intervals[f"exp_start{side}"] / res
+                ).astype(int)
+                intervals[f"endBin{side}"] = np.ceil(
+                    intervals[f"exp_end{side}"] / res
+                ).astype(int)
+                intervals[f"exp_start{side}"] = intervals[f"stBin{side}"] * res
+                intervals[f"exp_end{side}"] = intervals[f"endBin{side}"] * res
+        return intervals
+
+    # -- control shifts (reference coolpup.py:387–453) ---------------------
+
+    def _rng(self, region_tag, salt=0):
+        """Deterministic, host-count-invariant RNG keyed by (seed, region,
+        chunk) — replaces the reference's global np.random state
+        (coolpup.py:392–404), so results don't depend on region execution
+        order or process count."""
+        entropy = [
+            0 if self.seed is None else int(self.seed),
+            zlib.crc32(str(region_tag).encode()),
+            int(salt),
+        ]
+        if self.seed is None:
+            return np.random.default_rng()
+        return np.random.default_rng(np.random.SeedSequence(entropy))
+
+    def control_regions(self, intervals2d, nshifts=0, rng=None):
+        """Tag ROI rows; append nshifts shifted control copies.
+
+        Cis controls shift both anchors by one signed bp amount; trans
+        controls shift the two anchors independently (reference
+        coolpup.py:387–453; unlike the reference, the side-2 *bin* shift uses
+        the side-2 bp shift — upstream applies the side-1 shift to both bin
+        axes, contradicting its own bp coordinates)."""
+        res = self.resolution
+        intervals2d = intervals2d.copy()
+        intervals2d["kind"] = "ROI"
+        if nshifts <= 0:
+            return intervals2d
+        if rng is None:
+            rng = self._rng("anon")
+        ctrl = pd.concat([intervals2d] * nshifts).reset_index(drop=True)
+        n = ctrl.shape[0]
+        shift = rng.integers(self.minshift, self.maxshift, n) * rng.choice(
+            [-1, 1], n
+        )
+        if self.trans:
+            shift2 = rng.integers(self.minshift, self.maxshift, n) * rng.choice(
+                [-1, 1], n
+            )
+        else:
+            shift2 = shift
+        for col in ("exp_start1", "exp_end1", "center1"):
+            ctrl[col] = ctrl[col] + shift
+        for col in ("exp_start2", "exp_end2", "center2"):
+            ctrl[col] = ctrl[col] + shift2
+        binshift1 = np.round(shift / res).astype(int)
+        binshift2 = np.round(shift2 / res).astype(int)
+        ctrl["stBin1"] = ctrl["stBin1"] + binshift1
+        ctrl["endBin1"] = ctrl["endBin1"] + binshift1
+        ctrl["stBin2"] = ctrl["stBin2"] + binshift2
+        ctrl["endBin2"] = ctrl["endBin2"] + binshift2
+        ctrl["kind"] = "control"
+        return pd.concat([intervals2d, ctrl]).reset_index(drop=True)
+
+    # -- region filtering (reference coolpup.py:529–596) -------------------
+
+    def filter_bed_region(self, region):
+        chrom, start, end = region
+        iv = self.intervals
+        return iv[
+            (iv["chrom"] == chrom) & (iv["start"] >= start) & (iv["end"] < end)
+        ].reset_index(drop=True)
+
+    def filter_bedpe_region(self, region):
+        chrom, start, end = region
+        iv = self.intervals
+        return iv[
+            (iv["chrom1"] == chrom)
+            & (iv["chrom2"] == chrom)
+            & (iv["start1"] >= start)
+            & (iv["end1"] < end)
+            & (iv["start2"] >= start)
+            & (iv["end2"] < end)
+        ].reset_index(drop=True)
+
+    def filter_bedpe_trans_pairs(self, region1, region2):
+        chrom1, start1, end1 = region1
+        chrom2, start2, end2 = region2
+        iv = self.intervals
+        fwd = iv[
+            (iv["chrom1"] == chrom1)
+            & (iv["chrom2"] == chrom2)
+            & (iv["start1"] >= start1)
+            & (iv["end1"] < end1)
+            & (iv["start2"] >= start2)
+            & (iv["end2"] < end2)
+        ].reset_index(drop=True)
+        rev = iv[
+            (iv["chrom2"] == chrom1)
+            & (iv["chrom1"] == chrom2)
+            & (iv["start2"] >= start1)
+            & (iv["end2"] < end1)
+            & (iv["start1"] >= start2)
+            & (iv["end1"] < end2)
+        ].reset_index(drop=True)
+        return pd.concat([fwd, rev]).reset_index(drop=True)
+
+    # -- batch generation (replaces pos_stream, reference coolpup.py:598–749)
+
+    def batches(
+        self,
+        region1,
+        region2=None,
+        control=False,
+        groupby=None,
+        modify_2Dintervals_func=None,
+    ):
+        """Yield vectorized snip DataFrames for a region (pair).
+
+        Each frame carries chrom/start/end/center/exp_*/stBin/endBin for both
+        sides plus 'kind', 'group' and any feature annotations. The union of
+        all frames is semantically the reference's pos_stream output
+        (coolpup.py:598–746)."""
+        groupby = groupby or []
+        if self.empty:
+            return
+        if self.kind == "bedpe":
+            yield from self._batches_bedpe(
+                region1, region2, control, groupby, modify_2Dintervals_func
+            )
+        elif self.local:
+            yield from self._batches_local(
+                region1, control, groupby, modify_2Dintervals_func
+            )
+        elif self.trans:
+            yield from self._batches_trans_bed(
+                region1, region2, control, groupby, modify_2Dintervals_func
+            )
+        else:
+            yield from self._batches_cis_bed(
+                region1, control, groupby, modify_2Dintervals_func
+            )
+
+    def _finalize(self, frame, control, groupby, modify_func, rng):
+        frame = self.control_regions(frame, self.nshifts if control else 0, rng=rng)
+        if modify_func is not None:
+            frame = modify_func(frame)
+        frame = assign_groups(frame, groupby)
+        return frame
+
+    def _batches_bedpe(self, region1, region2, control, groupby, modify_func):
+        if self.trans and region2 is not None and region1[0] != region2[0]:
+            iv = self.filter_bedpe_trans_pairs(region1, region2)
+        else:
+            iv = self.filter_bedpe_region(region1)
+        rng = self._rng((region1, region2))
+        for lo in range(0, max(len(iv), 1), self.chunk_size):
+            chunk = iv.iloc[lo : lo + self.chunk_size]
+            if len(chunk) == 0:
+                return
+            yield self._finalize(
+                chunk.reset_index(drop=True), control, groupby, modify_func, rng
+            )
+
+    def _batches_local(self, region1, control, groupby, modify_func):
+        iv = self.filter_bed_region(region1)
+        if len(iv) == 0:
+            return
+        merged = pd.merge(
+            iv, iv, left_index=True, right_index=True, suffixes=["1", "2"]
+        )
+        rng = self._rng((region1, None))
+        for lo in range(0, len(merged), self.chunk_size):
+            yield self._finalize(
+                merged.iloc[lo : lo + self.chunk_size].reset_index(drop=True),
+                control,
+                groupby,
+                modify_func,
+                rng,
+            )
+
+    def _batches_trans_bed(self, region1, region2, control, groupby, modify_func):
+        left = self.filter_bed_region(region1)
+        right = self.filter_bed_region(region2)
+        if len(left) == 0 or len(right) == 0:
+            return
+        left = left.rename(columns=lambda x: x + "1").reset_index(drop=True)
+        right = right.rename(columns=lambda x: x + "2").reset_index(drop=True)
+        rng = self._rng((region1, region2))
+        # full cartesian product, chunked over the left side
+        rows_per_chunk = max(1, self.chunk_size // max(len(right), 1))
+        for lo in range(0, len(left), rows_per_chunk):
+            lchunk = left.iloc[lo : lo + rows_per_chunk]
+            prod = lchunk.merge(right, how="cross")
+            yield self._finalize(prod, control, groupby, modify_func, rng)
+
+    def _batches_cis_bed(self, region1, control, groupby, modify_func):
+        iv = self.filter_bed_region(region1)
+        n = len(iv)
+        if n < 2:
+            return
+        left = iv.rename(columns=lambda x: x + "1")
+        right = iv.rename(columns=lambda x: x + "2")
+        centers = iv["center"].values
+        centers_sorted = bool(np.all(np.diff(centers) >= 0))
+        rng = self._rng((region1, None))
+
+        pending = []
+        pending_rows = 0
+        for k in range(1, n):
+            li = np.arange(0, n - k)
+            ri = li + k
+            d = centers[ri] - centers[li]
+            if centers_sorted and np.isfinite(self.maxdist):
+                if d.min() > self.maxdist:
+                    break
+            keep = (self.mindist <= np.abs(d)) & (np.abs(d) <= self.maxdist)
+            if not keep.any():
+                continue
+            li, ri = li[keep], ri[keep]
+            combo = pd.concat(
+                [
+                    left.iloc[li].reset_index(drop=True),
+                    right.iloc[ri].reset_index(drop=True),
+                ],
+                axis=1,
+            )
+            combo["distance"] = centers[ri] - centers[li]
+            pending.append(combo)
+            pending_rows += len(combo)
+            if pending_rows >= self.chunk_size:
+                yield self._finalize(
+                    pd.concat(pending).reset_index(drop=True),
+                    control,
+                    groupby,
+                    modify_func,
+                    rng,
+                )
+                pending, pending_rows = [], 0
+        if pending:
+            yield self._finalize(
+                pd.concat(pending).reset_index(drop=True),
+                control,
+                groupby,
+                modify_func,
+                rng,
+            )

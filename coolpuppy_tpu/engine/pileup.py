@@ -1,0 +1,1158 @@
+"""The pile-up engine: PileUpper + pileup().
+
+API counterpart of the reference's PileUpper / pileup()
+(reference coolpup.py:752–2279), re-architected for TPU: per region pair the
+host builds a block-sparse tile stack and vectorized snip index arrays, the
+device runs the fused gather/normalize/accumulate step (ops/gather.py), and
+per-(kind, group) accumulators come back as fixed-shape arrays which the host
+finishes with the reference's normalization algebra (division by shifted
+controls or expected, coverage normalization, local symmetrization).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import warnings
+from functools import reduce, partial
+
+import numpy as np
+import pandas as pd
+
+from ..coords import (
+    CoordCreator,
+    bin_distance_intervals,
+    flip_mark_intervals,
+    swap_paired_columns_for_flipped,
+)
+from ..genomics.intervals import (
+    make_cooler_view,
+    make_viewframe,
+    natsorted,
+    sort_bedframe,
+    is_compatible_viewframe,
+    is_valid_expected,
+)
+from ..lib.puputils import (
+    empty_pup,
+    group_by_region_frame,
+    norm_coverage,
+    sum_pups,
+)
+from ..ops.gather import GatherConfig, make_pileup_step
+from ..ops.tiles import build_tile_stack
+from ..ops.rescale import make_rescale_step
+from .. import coverage as coverage_mod
+
+logger = logging.getLogger("coolpuppy_tpu")
+
+
+def _next_pow2(x):
+    return 1 << max(0, int(np.ceil(np.log2(max(1, int(x))))))
+
+
+class PileUpper:
+    """See reference coolpup.py:752–836 for parameter semantics; the
+    constructor surface is the same, plus device knobs (chunk_size,
+    tile_size)."""
+
+    def __init__(
+        self,
+        clr,
+        CC,
+        *,
+        view_df=None,
+        clr_weight_name="weight",
+        expected=False,
+        expected_value_col="balanced.avg",
+        ooe=True,
+        control=False,
+        coverage_norm=False,
+        rescale=False,
+        rescale_size=99,
+        flip_negative_strand=False,
+        ignore_diags=2,
+        store_stripes=False,
+        nproc=1,
+        chunk_size=32768,
+        tile_size=None,
+    ):
+        self.clr = clr
+        self.resolution = clr.binsize
+        self.CC = CC
+        assert self.resolution == self.CC.resolution
+        # mirrored CC attributes (reference coolpup.py:841 merges __dict__)
+        for attr in (
+            "flank",
+            "rescale_flank",
+            "minshift",
+            "maxshift",
+            "nshifts",
+            "mindist",
+            "maxdist",
+            "local",
+            "subset",
+            "seed",
+            "trans",
+            "kind",
+            "final_chroms",
+        ):
+            setattr(self, attr, getattr(CC, attr))
+        self.clr_weight_name = clr_weight_name
+        self.expected = expected
+        self.expected_value_col = expected_value_col
+        self.ooe = ooe
+        self.control = control
+        self.pad_bins = self.CC.flank // self.resolution
+        self.coverage_norm = coverage_norm
+        self.rescale = rescale
+        self.rescale_size = rescale_size
+        self.flip_negative_strand = flip_negative_strand
+        self.ignore_diags = ignore_diags
+        self.store_stripes = store_stripes
+        self.nproc = nproc
+        self.chunk_size = int(chunk_size)
+        self.tile_size = tile_size
+
+        if view_df is None:
+            self.view_df = make_cooler_view(clr)
+        else:
+            self.view_df = make_viewframe(view_df, check_bounds=clr.chromsizes)
+
+        self.expected_vectors = {}
+        self.expected_df = None
+        if self.expected is not None and self.expected is not False:
+            expected_df = self.expected
+            expected_df = expected_df[
+                expected_df["region1"].isin(self.view_df["name"])
+                & expected_df["region2"].isin(self.view_df["name"])
+            ].reset_index(drop=True)
+            if self.control:
+                warnings.warn(
+                    "Can't do both expected and control shifts; "
+                    "defaulting to expected",
+                    stacklevel=2,
+                )
+                self.control = False
+            if self.trans:
+                is_valid_expected(
+                    expected_df,
+                    "trans",
+                    self.view_df,
+                    verify_cooler=clr,
+                    expected_value_cols=[self.expected_value_col],
+                    raise_errors=True,
+                )
+                self.expected_df = expected_df
+            else:
+                expected_df = expected_df[
+                    expected_df["region1"] == expected_df["region2"]
+                ].reset_index(drop=True)
+                is_valid_expected(
+                    expected_df,
+                    "cis",
+                    self.view_df,
+                    verify_cooler=clr,
+                    expected_value_cols=[self.expected_value_col],
+                    raise_errors=True,
+                )
+                self.expected_df = expected_df
+                for name, sub in expected_df.groupby("region1", observed=True):
+                    sub = sub.sort_values("dist")
+                    vec = np.full(int(sub["dist"].max()) + 1, np.nan)
+                    vec[sub["dist"].astype(int).values] = sub[
+                        self.expected_value_col
+                    ].values
+                    self.expected_vectors[name] = vec
+            self.expected = True
+
+        self.view_df = self.view_df.set_index("name")
+        self.view_df_extents = {}
+        for region_name, region in self.view_df.iterrows():
+            lo, hi = self.clr.extent(region)
+            chroffset = self.clr.offset(region.iloc[0])
+            self.view_df_extents[region_name] = lo - chroffset, hi - chroffset
+
+        self.chroms = natsorted(
+            set(self.CC.final_chroms) & set(self.clr.chromnames)
+        )
+        self.view_df = self.view_df[self.view_df["chrom"].isin(self.chroms)]
+        if self.view_df["chrom"].unique().shape[0] == 0:
+            raise ValueError(
+                "No chromosomes are in common between the coordinate "
+                "file and the cooler file"
+            )
+        if self.trans and self.view_df["chrom"].unique().shape[0] < 2:
+            raise ValueError("Trying to do trans with fewer than two chromosomes")
+
+        if self.coverage_norm is True or self.coverage_norm == "total":
+            self.coverage_norm = "cov_tot_raw"
+        elif self.coverage_norm == "cis":
+            self.coverage_norm = "cov_cis_raw"
+        if self.coverage_norm and self.clr_weight_name:
+            raise ValueError(
+                "Can't do coverage normalization when clr_weight_name is provided"
+            )
+        if (
+            self.coverage_norm
+            and self.coverage_norm not in self.clr.bins().columns
+        ):
+            if self.coverage_norm in ("cov_cis_raw", "cov_tot_raw"):
+                coverage_mod.coverage(
+                    self.clr, store=True, ignore_diags=self.ignore_diags
+                )
+            else:
+                raise ValueError(
+                    f"coverage_norm {self.coverage_norm} not found in cooler bins"
+                )
+
+        if self.rescale:
+            if self.rescale_flank is None:
+                raise ValueError("Cannot use rescale without setting rescale_flank")
+            if self.rescale_size % 2 == 0:
+                raise ValueError("Please provide an odd rescale_size")
+
+        self.empty_outmap = self.make_outmap()
+
+    # ------------------------------------------------------------------
+
+    def make_outmap(self):
+        if self.rescale:
+            return np.zeros((self.rescale_size, self.rescale_size))
+        return np.zeros((2 * self.pad_bins + 1, 2 * self.pad_bins + 1))
+
+    def get_expected_trans(self, region1, region2):
+        exp_value = self.expected_df.loc[
+            (self.expected_df["region1"] == region1)
+            & (self.expected_df["region2"] == region2),
+            self.expected_value_col,
+        ]
+        return float(exp_value.iloc[0])
+
+    # -- device plumbing ----------------------------------------------------
+
+    def _region_device_inputs(self, region1, region2):
+        """Fetch + stage everything per region pair that snips index into."""
+        r1c = self.view_df.loc[region1]
+        r2c = self.view_df.loc[region2] if region2 != region1 else r1c
+        min1, max1 = self.view_df_extents[region1]
+        min2, max2 = self.view_df_extents[region2]
+        n1, n2 = max1 - min1, max2 - min2
+
+        coo = self.clr.fetch_coo(r1c, r2c, balance=self.clr_weight_name)
+
+        def padded(vec, fill=0.0):
+            out = np.full(_next_pow2(len(vec) + 512), fill, dtype=np.float32)
+            out[: len(vec)] = vec
+            return out
+
+        valid1 = padded(
+            (~self.clr.bad_bin_mask(r1c, self.clr_weight_name)).astype(np.float32)
+        )
+        valid2 = padded(
+            (~self.clr.bad_bin_mask(r2c, self.clr_weight_name)).astype(np.float32)
+        )
+
+        if self.coverage_norm:
+            cov1 = padded(
+                self.clr.bins()[self.coverage_norm].fetch(r1c).values
+            )
+            cov2 = padded(
+                self.clr.bins()[self.coverage_norm].fetch(r2c).values
+            )
+        else:
+            cov1 = np.zeros(8, np.float32)
+            cov2 = np.zeros(8, np.float32)
+
+        if self.expected:
+            if self.trans:
+                evec = np.array(
+                    [self.get_expected_trans(region1, region2)], np.float32
+                )
+            else:
+                evec = padded(self.expected_vectors[region1], fill=np.nan)
+        else:
+            evec = np.array([np.nan], np.float32)
+
+        return dict(
+            coo=coo,
+            min1=min1,
+            min2=min2,
+            n1=n1,
+            n2=n2,
+            valid1=valid1,
+            valid2=valid2,
+            cov1=cov1,
+            cov2=cov2,
+            evec=evec,
+            cis=(not self.trans) and (region1 == region2),
+        )
+
+    def _window_bins(self):
+        """Window size in bins for the non-rescaled path (reference
+        make_outmap, coolpup.py:1007–1022)."""
+        return 2 * self.pad_bins + 1
+
+    def pileup_region(
+        self,
+        region1,
+        region2=None,
+        groupby=None,
+        modify_2Dintervals_func=None,
+        postprocess_frame_func=None,
+        extra_sum_funcs=None,
+    ):
+        """Accumulate all snips of one region (pair) on device; returns
+        {"ROI": {group: pup}, "control": {...}} (reference
+        coolpup.py:1285–1358)."""
+        groupby = groupby or []
+        if region2 is None:
+            region2 = region1
+
+        dev = self._region_device_inputs(region1, region2)
+        if self.rescale:
+            return self._pileup_region_rescale(
+                region1, region2, dev, groupby, modify_2Dintervals_func,
+                postprocess_frame_func,
+            )
+
+        W = self._window_bins()
+        B = max(64, _next_pow2(W))
+        shape = self.make_outmap().shape
+
+        emit_expected = bool(self.expected and not self.ooe)
+        use_expected = bool(self.expected)
+        coverage = bool(self.coverage_norm)
+
+        cid_of = {}
+        groups_meta = []  # (kind, group) per cid
+        acc = {}
+        n_counts = {}
+        stripes = {}
+
+        def ensure_cid(kind, group):
+            key = (kind, group)
+            if key not in cid_of:
+                cid_of[key] = len(cid_of)
+                groups_meta.append(key)
+            return cid_of[key]
+
+        region1_coords = tuple(self.view_df.loc[region1])
+        region2_coords = tuple(self.view_df.loc[region2])
+
+        for chunk in self.CC.batches(
+            region1_coords,
+            region2_coords if region2 != region1 else None,
+            control=self.control,
+            groupby=groupby,
+            modify_2Dintervals_func=modify_2Dintervals_func,
+        ):
+            if postprocess_frame_func is not None:
+                chunk = postprocess_frame_func(chunk)
+            if len(chunk) == 0:
+                continue
+            r1 = chunk["stBin1"].values - dev["min1"]
+            r2 = chunk["stBin2"].values - dev["min2"]
+            e1 = chunk["endBin1"].values - dev["min1"]
+            e2 = chunk["endBin2"].values - dev["min2"]
+            inb = (r1 >= 0) & (e1 <= dev["n1"]) & (r2 >= 0) & (e2 <= dev["n2"])
+            chunk = chunk.loc[inb]
+            if len(chunk) == 0:
+                continue
+            widths1 = chunk["endBin1"].values - chunk["stBin1"].values
+            assert (widths1 == W).all(), (
+                "inconsistent window size; flank must be a multiple of "
+                "the resolution"
+            )
+            r1 = (chunk["stBin1"].values - dev["min1"]).astype(np.int32)
+            r2 = (chunk["stBin2"].values - dev["min2"]).astype(np.int32)
+            dd0 = (
+                chunk["stBin1"].values - chunk["stBin2"].values
+            ).astype(np.int32)
+
+            if "flip" in chunk.columns:
+                flip = chunk["flip"].values.astype(bool)
+            else:
+                flip = np.zeros(len(chunk), bool)
+
+            kinds = chunk["kind"].values
+            groups = chunk["group"].values
+            cid = np.fromiter(
+                (ensure_cid(k, g) for k, g in zip(kinds, groups)),
+                count=len(chunk),
+                dtype=np.int32,
+            )
+
+            S = len(chunk)
+            Spad = max(256, _next_pow2(S))
+            block = min(512, Spad)
+            C = max(8, _next_pow2(len(cid_of)))
+
+            tile_stack = build_tile_stack(
+                dev["coo"], B, r1=r1, r2=r2, window1=W, window2=W
+            )
+            cfg = GatherConfig(
+                W=W,
+                B=B,
+                S=Spad,
+                block=block,
+                capacity=C,
+                cis=dev["cis"],
+                ignore_diags=int(self.ignore_diags),
+                ooe=bool(use_expected and self.ooe),
+                emit_expected=emit_expected,
+                coverage=coverage,
+                stripes=bool(self.store_stripes),
+                large_g=len(cid_of) > 512,
+            )
+            step = make_pileup_step(cfg)
+
+            def pad(a, fill=0):
+                out = np.full(Spad, fill, a.dtype)
+                out[:S] = a
+                return out
+
+            snipmask = np.zeros(Spad, bool)
+            snipmask[:S] = True
+            out = step(
+                tile_stack.tiles,
+                tile_stack.tile_map.ravel(),
+                np.int32(tile_stack.tile_map.shape[1]),
+                dev["evec"],
+                dev["valid1"],
+                dev["valid2"],
+                dev["cov1"],
+                dev["cov2"],
+                pad(r1),
+                pad(r2),
+                pad(dd0),
+                pad(cid),
+                pad(flip, False),
+                snipmask,
+            )
+            out = {k: np.asarray(v, np.float64) for k, v in out.items()}
+
+            for k in out:
+                if k in ("horizontal_stripe", "vertical_stripe"):
+                    continue
+                prev = acc.get(k)
+                cur = out[k][: len(cid_of)] if out[k].shape[0] == C else out[k]
+                if prev is None:
+                    acc[k] = cur.copy()
+                else:
+                    if prev.shape[0] < cur.shape[0]:
+                        grown = np.zeros(
+                            (cur.shape[0],) + prev.shape[1:], prev.dtype
+                        )
+                        grown[: prev.shape[0]] = prev
+                        prev = grown
+                        acc[k] = prev
+                    prev[: cur.shape[0]] += cur
+
+            counts = np.bincount(cid, minlength=len(cid_of))
+            for i, c in enumerate(counts):
+                n_counts[i] = n_counts.get(i, 0) + int(c)
+
+            if self.store_stripes:
+                hs = out["horizontal_stripe"][:S]
+                vs = out["vertical_stripe"][:S]
+                coords = [
+                    ".".join(
+                        str(chunk[col].values[i])
+                        for col in (
+                            "chrom1",
+                            "start1",
+                            "end1",
+                            "chrom2",
+                            "start2",
+                            "end2",
+                        )
+                    )
+                    for i in range(S)
+                ]
+                for i in range(S):
+                    entry = stripes.setdefault(
+                        int(cid[i]), {"h": [], "v": [], "coords": []}
+                    )
+                    entry["h"].append(hs[i])
+                    entry["v"].append(vs[i])
+                    entry["coords"].append(coords[i])
+
+        # -- package into pup dicts ------------------------------------
+        outdict = {"ROI": {}, "control": {}}
+        for (kind, group), i in cid_of.items():
+            if n_counts.get(i, 0) == 0:
+                continue
+            pup = {
+                "data": acc["sum"][i],
+                "num": acc["num"][i],
+                "poison": acc["poison"][i],
+                "n": n_counts[i],
+                "cov_start": acc["cov_start"][i]
+                if self.coverage_norm
+                else np.zeros(shape[0]),
+                "cov_end": acc["cov_end"][i]
+                if self.coverage_norm
+                else np.zeros(shape[1]),
+                "horizontal_stripe": stripes.get(i, {}).get("h", []),
+                "vertical_stripe": stripes.get(i, {}).get("v", []),
+                "coordinates": stripes.get(i, {}).get("coords", []),
+            }
+            key = group if isinstance(group, str) else tuple(group)
+            outdict[kind][key] = pup
+            if emit_expected and kind == "ROI":
+                epup = {
+                    "data": acc["exp_sum"][i],
+                    "num": acc["exp_num"][i],
+                    "poison": np.zeros(shape),
+                    "n": n_counts[i],
+                    "cov_start": np.zeros(shape[0]),
+                    "cov_end": np.zeros(shape[1]),
+                    "horizontal_stripe": [],
+                    "vertical_stripe": [],
+                    "coordinates": [],
+                }
+                if key in outdict["control"]:
+                    outdict["control"][key] = dict(
+                        sum_pups(outdict["control"][key], epup)
+                    )
+                else:
+                    outdict["control"][key] = epup
+
+        sum_func = sum_pups
+        if "all" not in outdict["ROI"]:
+            outdict["ROI"]["all"] = dict(
+                reduce(sum_func, outdict["ROI"].values(), empty_pup(shape))
+            )
+        if self.control or emit_expected:
+            if "all" not in outdict["control"]:
+                outdict["control"]["all"] = dict(
+                    reduce(sum_func, outdict["control"].values(), empty_pup(shape))
+                )
+        if outdict["ROI"]["all"]["n"] > 0:
+            logger.info(f"{region1, region2}: {outdict['ROI']['all']['n']}")
+        return outdict
+
+    def _pileup_region_rescale(
+        self, region1, region2, dev, groupby, modify_func, postprocess_frame_func
+    ):
+        raise NotImplementedError  # installed by engine/rescale_mixin
+
+    # -- the full run (reference coolpup.py:1360–1654) ----------------------
+
+    def pileupsWithControl(
+        self,
+        nproc=None,
+        groupby=None,
+        ignore_group_order=False,
+        modify_2Dintervals_func=None,
+        postprocess_frame_func=None,
+        extra_sum_funcs=None,
+    ):
+        groupby = groupby or []
+        self.ignore_group_order = ignore_group_order
+        if nproc is None:
+            nproc = self.nproc
+        if len(self.chroms) == 0:
+            return self.make_outmap(), 0
+        sum_func = partial(sum_pups, extra_funcs=extra_sum_funcs)
+
+        regions1, regions2 = [], []
+        if self.trans:
+            import itertools
+
+            for region1, region2 in itertools.combinations(self.view_df.index, 2):
+                if (
+                    self.view_df.loc[region1, "chrom"]
+                    != self.view_df.loc[region2, "chrom"]
+                ):
+                    regions1.append(region1)
+                    regions2.append(region2)
+        else:
+            regions1 = list(self.view_df.index)
+            regions2 = regions1
+
+        # flip / group-order resolution (reference coolpup.py:1431–1493)
+        flipby = None
+        if self.flip_negative_strand:
+            flipby = "strand"
+            if self.ignore_group_order:
+                if self.local:
+                    raise ValueError(
+                        "ignore_group_order doesn't make sense for local pileups"
+                    )
+                if self.kind == "bedpe":
+                    raise ValueError(
+                        "ignore_group_order doesn't make sense for bedpe files"
+                    )
+                if groupby:
+                    warnings.warn(
+                        "flip_negative_strand and ignore_group_order leads to "
+                        "combining strands, not other groups"
+                    )
+        elif self.ignore_group_order and groupby:
+            if self.local:
+                raise ValueError(
+                    "ignore_group_order doesn't make sense for local pileups"
+                )
+            if self.kind == "bedpe":
+                raise ValueError(
+                    "ignore_group_order doesn't make sense for bedpe files"
+                )
+            groups = np.array(groupby)
+            filt = [
+                f"{g}1" in groups and f"{g}2" in groups
+                for g in [g[:-1] for g in groups]
+            ]
+            groups_filtered = np.sort(groups[filt])
+            if self.ignore_group_order is True:
+                flipby = list(set(g[:-1] for g in groups_filtered))
+            elif isinstance(self.ignore_group_order, str):
+                flipby = [self.ignore_group_order]
+            elif len(self.ignore_group_order) == 1:
+                flipby = list(self.ignore_group_order)
+            else:
+                flipby = list(set(g[:-1] for g in self.ignore_group_order))
+            if len(flipby) == 1 and f"{flipby[0]}1" in groups_filtered:
+                flipby = flipby[0]
+            else:
+                raise ValueError(
+                    "Ambiguous ignore_group_order, please provide str or list "
+                    "of two strings which are in groupby"
+                )
+        elif self.ignore_group_order and not groupby:
+            warnings.warn("Need to specify groupby for ignore_group_order")
+
+        if self.flip_negative_strand or (self.ignore_group_order and groupby):
+            user_modify = modify_2Dintervals_func
+
+            def modify_final(frame):
+                frame = flip_mark_intervals(
+                    frame, flipby, self.flip_negative_strand
+                )
+                if self.ignore_group_order:
+                    frame = swap_paired_columns_for_flipped(
+                        frame,
+                        exclude_bases=(
+                            "stBin",
+                            "endBin",
+                            "exp_start",
+                            "exp_end",
+                            "chrom",
+                            "start",
+                            "end",
+                            "center",
+                        ),
+                    )
+                if user_modify is not None:
+                    frame = user_modify(frame)
+                return frame
+
+        else:
+            modify_final = modify_2Dintervals_func
+
+        pileups = [
+            self.pileup_region(
+                r1,
+                r2,
+                groupby=groupby,
+                modify_2Dintervals_func=modify_final,
+                postprocess_frame_func=postprocess_frame_func,
+                extra_sum_funcs=extra_sum_funcs,
+            )
+            for r1, r2 in zip(regions1, regions2)
+        ]
+
+        roi = (
+            pd.DataFrame(
+                [
+                    {k: pd.Series(v) for k, v in pileup["ROI"].items()}
+                    for pileup in pileups
+                ]
+            )
+            .apply(lambda x: reduce(sum_func, x.dropna()))
+            .T
+        )
+        have_control = self.control or (self.expected and not self.ooe)
+        if have_control:
+            ctrl = (
+                pd.DataFrame(
+                    [
+                        {k: pd.Series(v) for k, v in pileup["control"].items()}
+                        for pileup in pileups
+                    ]
+                )
+                .apply(lambda x: reduce(sum_func, x.dropna()))
+                .T
+            )
+
+        # poison pixels (reference: +inf sums from ooe division by zero,
+        # coolpup.py:1154–1156) — restore the inf so downstream algebra and the
+        # final inf→nan replacement behave identically
+        def _apply_poison(table):
+            if "poison" not in table.columns:
+                return table
+            datacol = table.columns.get_loc("data")
+            poiscol = table.columns.get_loc("poison")
+            for i in range(len(table)):
+                pois = table.iat[i, poiscol]
+                if pois is not None and np.any(np.asarray(pois) > 0):
+                    data = table.iat[i, datacol].copy()
+                    data[np.asarray(pois) > 0] = np.inf
+                    table.iat[i, datacol] = data
+            return table
+
+        roi = _apply_poison(roi)
+        if have_control:
+            ctrl = _apply_poison(ctrl)
+
+        if self.coverage_norm:
+            roi = roi.apply(norm_coverage, axis=1)
+            if self.control:
+                ctrl = ctrl.apply(norm_coverage, axis=1)
+            elif self.expected:
+                warnings.warn(
+                    "Expected can not be normalized to coverage", stacklevel=2
+                )
+        normalized_roi = pd.DataFrame(roi["data"] / roi["num"], columns=["data"])
+        if have_control:
+            normalized_control = pd.DataFrame(
+                ctrl["data"] / ctrl["num"], columns=["data"]
+            )
+            normalized_roi = normalized_roi / normalized_control
+            normalized_roi["control_n"] = ctrl["n"]
+            normalized_roi["control_num"] = ctrl["num"]
+
+        normalized_roi["data"] = normalized_roi["data"].apply(
+            lambda x: np.where(x == np.inf, np.nan, x)
+        )
+        normalized_roi["n"] = roi["n"]
+        normalized_roi["num"] = roi["num"]
+
+        if self.store_stripes:
+            from ..lib import numutils as _numutils
+
+            normalized_roi["coordinates"] = roi["coordinates"]
+            normalized_roi["coordinates"] = [
+                [x.split(".") for x in y] for y in normalized_roi["coordinates"]
+            ]
+            normalized_roi["horizontal_stripe"] = roi["horizontal_stripe"]
+            normalized_roi["vertical_stripe"] = roi["vertical_stripe"]
+            if have_control:
+                cntr = int(
+                    np.floor(normalized_control["data"]["all"].shape[0] / 2)
+                )
+                control_h = np.array(
+                    normalized_control["data"]["all"][cntr, :], dtype=float
+                )
+                control_v = np.array(
+                    normalized_control["data"]["all"][:, cntr][::-1], dtype=float
+                )
+                normalized_roi["horizontal_stripe"] = normalized_roi.apply(
+                    lambda row: np.divide(row["horizontal_stripe"], control_h),
+                    axis=1,
+                )
+                normalized_roi["vertical_stripe"] = normalized_roi.apply(
+                    lambda row: np.divide(row["vertical_stripe"], control_v),
+                    axis=1,
+                )
+            normalized_roi["vertical_stripe"] = normalized_roi[
+                "vertical_stripe"
+            ].apply(np.vstack)
+            normalized_roi["horizontal_stripe"] = normalized_roi[
+                "horizontal_stripe"
+            ].apply(np.vstack)
+            normalized_roi["coordinates"] = normalized_roi["coordinates"].apply(
+                np.vstack
+            )
+            if self.local:
+                normalized_roi["vertical_stripe"] = normalized_roi[
+                    "vertical_stripe"
+                ].apply(_numutils._copy_array_halves)
+                normalized_roi["horizontal_stripe"] = normalized_roi[
+                    "horizontal_stripe"
+                ].apply(_numutils._copy_array_halves)
+
+        if self.local:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                normalized_roi["data"] = normalized_roi["data"].apply(
+                    lambda x: np.nanmean(np.dstack((x, x.T)), 2)
+                )
+        n = normalized_roi.loc["all", "n"]
+        normalized_roi = normalized_roi.reset_index().rename(
+            columns={"index": "group"}
+        )
+        if groupby:
+            normalized_roi[groupby] = pd.DataFrame(
+                [
+                    ("all",) * len(groupby) if i == "all" else i
+                    for i in normalized_roi["group"].to_list()
+                ],
+                columns=groupby,
+            )
+            for val in groupby:
+                normalized_roi.insert(0, val, normalized_roi.pop(val))
+        logger.info(f"Total number of piled up windows: {int(n)}")
+
+        # annotation columns (reference coolpup.py:1628–1654)
+        annot = {
+            "clr": os.path.abspath(self.clr.filename),
+            "resolution": self.resolution,
+            "clr_weight_name": self.clr_weight_name,
+            "expected": bool(self.expected),
+            "expected_value_col": self.expected_value_col,
+            "ooe": self.ooe,
+            "control": self.control,
+            "pad_bins": self.pad_bins,
+            "coverage_norm": self.coverage_norm,
+            "rescale": self.rescale,
+            "rescale_size": self.rescale_size,
+            "flip_negative_strand": self.flip_negative_strand,
+            "ignore_diags": self.ignore_diags,
+            "store_stripes": self.store_stripes,
+            "nproc": self.nproc,
+            "flank": self.flank,
+            "rescale_flank": self.rescale_flank,
+            "chroms": str(self.chroms),
+            "minshift": self.minshift,
+            "maxshift": self.maxshift,
+            "nshifts": self.nshifts,
+            "trans": self.trans,
+            "mindist": self.mindist,
+            "maxdist": self.maxdist,
+            "local": self.local,
+            "subset": self.subset,
+            "seed": self.seed,
+            "ignore_group_order": self.ignore_group_order,
+        }
+        for name, attr in annot.items():
+            if isinstance(attr, list):
+                attr = str(attr)
+            normalized_roi[name] = [attr] * len(normalized_roi)
+        return normalized_roi
+
+    # -- grouped wrappers (reference coolpup.py:1656–1919) ------------------
+
+    def pileupsByStrandWithControl(
+        self, nproc=None, groupby=None, ignore_group_order=False
+    ):
+        groupby = groupby or []
+        normalized_pileups = self.pileupsWithControl(
+            nproc=nproc,
+            groupby=["strand1", "strand2"] + groupby,
+            ignore_group_order=ignore_group_order,
+        )
+        normalized_pileups.insert(
+            0,
+            "orientation",
+            (
+                normalized_pileups["strand1"] + normalized_pileups["strand2"]
+            ).replace({"allall": "all"}),
+        )
+        return normalized_pileups
+
+    def pileupsByWindowWithControl(self, nproc=None):
+        if self.local:
+            raise ValueError("Cannot do by-window pileups for local")
+        normalized_pileups = self.pileupsWithControl(
+            nproc=nproc, postprocess_frame_func=group_by_region_frame
+        )
+        groups = normalized_pileups["group"]
+        coords = pd.DataFrame(
+            [
+                ("all", -1, -1) if g == "all" else tuple(g)
+                for g in groups.to_list()
+            ],
+            index=normalized_pileups.index,
+            columns=["chrom", "start", "end"],
+        )
+        normalized_pileups = pd.concat(
+            [coords, normalized_pileups], axis=1
+        ).drop(columns="group")
+        normalized_pileups[["start", "end"]] = normalized_pileups[
+            ["start", "end"]
+        ].astype(int)
+        normalized_pileups = sort_bedframe(
+            normalized_pileups, view_df=self.view_df.reset_index()
+        )
+        return normalized_pileups
+
+    def _resolve_distance_edges(self, distance_edges):
+        if not (isinstance(distance_edges, str) and distance_edges == "default"):
+            if not all(isinstance(n, (int, np.integer)) for n in distance_edges):
+                raise ValueError("Distance edges must be integers")
+            distance_edges = list(np.sort(distance_edges))
+            for _ in range(len(distance_edges)):
+                if np.min(distance_edges) < self.mindist:
+                    distance_edges[int(np.argmin(distance_edges))] = self.mindist
+                else:
+                    break
+        return distance_edges
+
+    @staticmethod
+    def _format_separation(pups):
+        pups.insert(
+            0,
+            "separation",
+            pups["distance_band"].apply(
+                lambda x: (
+                    x
+                    if x == "all"
+                    else (
+                        f"{x[0]/1000000}Mb-\n{x[1]/1000000}Mb"
+                        if len(x) == 2
+                        else f"{x[0]/1000000}Mb+"
+                    )
+                )
+            ),
+        )
+        return pups
+
+    def pileupsByDistanceWithControl(
+        self,
+        nproc=None,
+        distance_edges="default",
+        groupby=None,
+        ignore_group_order=False,
+    ):
+        groupby = groupby or []
+        if self.trans:
+            raise ValueError("Cannot do by-distance pileups for trans")
+        if self.local:
+            raise ValueError("Cannot do by-distance pileups for local")
+        distance_edges = self._resolve_distance_edges(distance_edges)
+        bin_func = partial(bin_distance_intervals, band_edges=distance_edges)
+        pups = self.pileupsWithControl(
+            nproc=nproc,
+            modify_2Dintervals_func=bin_func,
+            groupby=["distance_band"] + groupby,
+            ignore_group_order=ignore_group_order,
+        )
+        pups = pups.loc[pups["distance_band"] != ()].reset_index(drop=True)
+        pups = self._format_separation(pups)
+        i = np.where(pups["separation"] == "all")[0]
+        pups = pd.concat(
+            [pups.drop(i).sort_values("distance_band"), pups.iloc[i, :]],
+            ignore_index=True,
+        ).reset_index(drop=True)
+        return pups
+
+    def pileupsByStrandByDistanceWithControl(
+        self,
+        nproc=None,
+        distance_edges="default",
+        groupby=None,
+        ignore_group_order=False,
+    ):
+        groupby = groupby or []
+        if self.trans:
+            raise ValueError("Cannot do by-distance pileups for trans")
+        distance_edges = self._resolve_distance_edges(distance_edges)
+        bin_func = partial(bin_distance_intervals, band_edges=distance_edges)
+        pups = self.pileupsWithControl(
+            nproc=nproc,
+            modify_2Dintervals_func=bin_func,
+            groupby=["strand1", "strand2", "distance_band"] + groupby,
+            ignore_group_order=ignore_group_order,
+        )
+        pups.insert(
+            0,
+            "orientation",
+            (pups["strand1"] + pups["strand2"]).replace({"allall": "all"}),
+        )
+        pups = pups.loc[pups["distance_band"] != ()].reset_index(drop=True)
+        pups = self._format_separation(pups)
+        i = np.where(pups["separation"] == "all")[0]
+        pups = pd.concat(
+            [
+                pups.drop(i).sort_values(["orientation", "distance_band"]),
+                pups.iloc[i, :],
+            ],
+            ignore_index=True,
+        ).reset_index(drop=True)
+        return pups
+
+
+def pileup(
+    clr,
+    features,
+    features_format="bed",
+    view_df=None,
+    expected_df=None,
+    expected_value_col="balanced.avg",
+    clr_weight_name="weight",
+    flank=100000,
+    minshift=10**5,
+    maxshift=10**6,
+    nshifts=0,
+    ooe=True,
+    mindist="auto",
+    maxdist=None,
+    min_diag=2,
+    subset=0,
+    by_window=False,
+    by_strand=False,
+    by_distance=False,
+    groupby=None,
+    ignore_group_order=False,
+    flip_negative_strand=False,
+    local=False,
+    coverage_norm=False,
+    trans=False,
+    rescale=False,
+    rescale_flank=1,
+    rescale_size=99,
+    store_stripes=False,
+    nproc=1,
+    seed=None,
+):
+    """One-shot pileup API (reference coolpup.py:1922–2279; same parameters)."""
+    groupby = groupby or []
+    distance_edges = "default"
+    if by_distance is not False:
+        if local:
+            raise ValueError(
+                "Can't do local pileups by distance, please specify only one "
+                "of those arguments"
+            )
+        if isinstance(by_distance, (list, np.ndarray)):
+            try:
+                distance_edges = [int(i) for i in by_distance]
+            except Exception as e:
+                raise ValueError(
+                    "Distance bin edges have to be an iterable of integers"
+                ) from e
+            by_distance = True
+        elif by_distance is True or by_distance == "default":
+            by_distance = True
+        else:
+            raise ValueError(
+                "Invalid by_distance value: True, 'default' or a list of "
+                "integers"
+            )
+
+    if not rescale:
+        rescale_flank = None
+
+    if view_df is None:
+        view_df = make_cooler_view(clr)
+    else:
+        is_compatible_viewframe(
+            view_df, clr, check_sorting=True, raise_errors=True
+        )
+
+    control = nshifts > 0
+
+    if expected_df is None:
+        expected = None
+        expected_value_col = None
+    else:
+        expected = True
+        is_valid_expected(
+            expected_df,
+            "trans" if trans else "cis",
+            view_df,
+            verify_cooler=clr,
+            expected_value_cols=[expected_value_col],
+            raise_errors=True,
+        )
+
+    if mindist is None:
+        mindist = "auto"
+    if maxdist is None:
+        maxdist = np.inf
+    if rescale and rescale_size % 2 == 0:
+        raise ValueError("Please provide an odd rescale_size")
+
+    chroms = list(view_df["chrom"].unique())
+
+    if by_window:
+        if features_format != "bed":
+            raise ValueError(
+                "Can't make by-window pileups without making combinations"
+            )
+        if local:
+            raise ValueError("Can't make local by-window pileups")
+
+    CC = CoordCreator(
+        features=features,
+        resolution=clr.binsize,
+        features_format=features_format,
+        flank=flank,
+        rescale_flank=rescale_flank,
+        chroms=chroms,
+        minshift=minshift,
+        maxshift=maxshift,
+        nshifts=nshifts,
+        mindist=mindist,
+        maxdist=maxdist,
+        local=local,
+        subset=subset,
+        seed=seed,
+        trans=trans,
+    )
+    PU = PileUpper(
+        clr=clr,
+        CC=CC,
+        view_df=view_df,
+        clr_weight_name=clr_weight_name,
+        expected=expected_df if expected else False,
+        expected_value_col=expected_value_col,
+        ooe=ooe,
+        control=control,
+        coverage_norm=coverage_norm,
+        rescale=rescale,
+        rescale_size=rescale_size,
+        flip_negative_strand=flip_negative_strand,
+        ignore_diags=min_diag,
+        store_stripes=store_stripes,
+        nproc=nproc,
+    )
+
+    if by_window:
+        pups = PU.pileupsByWindowWithControl()
+        pups["by_window"] = True
+        pups["by_strand"] = False
+        pups["by_distance"] = False
+        if groupby:
+            warnings.warn("by-window not compatible with additional groupby")
+    elif by_strand and by_distance:
+        pups = PU.pileupsByStrandByDistanceWithControl(
+            nproc=nproc,
+            distance_edges=distance_edges,
+            groupby=groupby,
+            ignore_group_order=ignore_group_order,
+        )
+        pups["by_window"] = False
+        pups["by_strand"] = True
+        pups["by_distance"] = True
+    elif by_strand:
+        pups = PU.pileupsByStrandWithControl(
+            groupby=groupby, ignore_group_order=ignore_group_order
+        )
+        pups["by_window"] = False
+        pups["by_strand"] = True
+        pups["by_distance"] = False
+    elif by_distance:
+        pups = PU.pileupsByDistanceWithControl(
+            nproc=nproc,
+            distance_edges=distance_edges,
+            groupby=groupby,
+            ignore_group_order=ignore_group_order,
+        )
+        pups["by_window"] = False
+        pups["by_strand"] = False
+        pups["by_distance"] = True
+    else:
+        pups = PU.pileupsWithControl(
+            groupby=groupby, ignore_group_order=ignore_group_order
+        )
+        pups["by_window"] = False
+        pups["by_strand"] = False
+        pups["by_distance"] = False
+    pups["groupby"] = [groupby] * pups.shape[0]
+    pups["expected"] = pups["expected"].fillna(False)
+    coolname = os.path.splitext(os.path.basename(clr.filename))[0]
+    pups["cooler"] = coolname
+    return pups

@@ -12,3 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The JAX_PLATFORMS env var is not honored by this jax build when the axon TPU
+# plugin is present; force CPU through the config API before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
