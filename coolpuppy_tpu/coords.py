@@ -131,7 +131,7 @@ class CoordCreator:
             if self.trans:
                 warnings.warn("Ignoring mindist when using trans", stacklevel=2)
                 self.mindist = 0
-        if maxdist is None:
+        if maxdist is None or maxdist == np.inf:
             self.maxdist = np.inf
         else:
             self.maxdist = maxdist
@@ -280,9 +280,18 @@ class CoordCreator:
         chunk) — replaces the reference's global np.random state
         (coolpup.py:392–404), so results don't depend on region execution
         order or process count."""
+        def _norm(tag):
+            if tag is None:
+                return "none"
+            if isinstance(tag, (tuple, list)):
+                return "|".join(_norm(t) for t in tag)
+            if isinstance(tag, (int, np.integer)):
+                return str(int(tag))
+            return str(tag)
+
         entropy = [
             0 if self.seed is None else int(self.seed),
-            zlib.crc32(str(region_tag).encode()),
+            zlib.crc32(_norm(region_tag).encode()),
             int(salt),
         ]
         if self.seed is None:

@@ -41,7 +41,7 @@ from ..lib.puputils import (
 )
 from ..ops.gather import GatherConfig, make_pileup_step
 from ..ops.tiles import build_tile_stack
-from ..ops.rescale import make_rescale_step
+from ..ops.rescale import RescaleConfig, make_rescale_step
 from .. import coverage as coverage_mod
 
 logger = logging.getLogger("coolpuppy_tpu")
@@ -211,6 +211,18 @@ class PileUpper:
                 raise ValueError("Cannot use rescale without setting rescale_flank")
             if self.rescale_size % 2 == 0:
                 raise ValueError("Please provide an odd rescale_size")
+            iv = self.CC.intervals
+            if self.CC.kind == "bed":
+                self.max_extent_bins = int(
+                    (iv["endBin"] - iv["stBin"]).max()
+                )
+            else:
+                self.max_extent_bins = int(
+                    max(
+                        (iv["endBin1"] - iv["stBin1"]).max(),
+                        (iv["endBin2"] - iv["stBin2"]).max(),
+                    )
+                )
 
         self.empty_outmap = self.make_outmap()
 
@@ -231,7 +243,7 @@ class PileUpper:
 
     # -- device plumbing ----------------------------------------------------
 
-    def _region_device_inputs(self, region1, region2):
+    def _region_device_inputs(self, region1, region2, minpad=512):
         """Fetch + stage everything per region pair that snips index into."""
         r1c = self.view_df.loc[region1]
         r2c = self.view_df.loc[region2] if region2 != region1 else r1c
@@ -242,7 +254,9 @@ class PileUpper:
         coo = self.clr.fetch_coo(r1c, r2c, balance=self.clr_weight_name)
 
         def padded(vec, fill=0.0):
-            out = np.full(_next_pow2(len(vec) + 512), fill, dtype=np.float32)
+            out = np.full(
+                _next_pow2(len(vec) + minpad), fill, dtype=np.float32
+            )
             out[: len(vec)] = vec
             return out
 
@@ -309,15 +323,17 @@ class PileUpper:
         if region2 is None:
             region2 = region1
 
-        dev = self._region_device_inputs(region1, region2)
         if self.rescale:
-            return self._pileup_region_rescale(
-                region1, region2, dev, groupby, modify_2Dintervals_func,
-                postprocess_frame_func,
+            R = self.rescale_size
+            Hmax = _next_pow2(self.max_extent_bins)
+            B = max(64, Hmax)
+            dev = self._region_device_inputs(
+                region1, region2, minpad=Hmax + 8
             )
-
-        W = self._window_bins()
-        B = max(64, _next_pow2(W))
+        else:
+            W = self._window_bins()
+            B = max(64, _next_pow2(W))
+            dev = self._region_device_inputs(region1, region2)
         shape = self.make_outmap().shape
 
         emit_expected = bool(self.expected and not self.ooe)
@@ -359,11 +375,17 @@ class PileUpper:
             chunk = chunk.loc[inb]
             if len(chunk) == 0:
                 continue
-            widths1 = chunk["endBin1"].values - chunk["stBin1"].values
-            assert (widths1 == W).all(), (
-                "inconsistent window size; flank must be a multiple of "
-                "the resolution"
+            h1 = (chunk["endBin1"].values - chunk["stBin1"].values).astype(
+                np.int32
             )
+            w2 = (chunk["endBin2"].values - chunk["stBin2"].values).astype(
+                np.int32
+            )
+            if not self.rescale:
+                assert (h1 == W).all() and (w2 == W).all(), (
+                    "inconsistent window size; flank must be a multiple of "
+                    "the resolution"
+                )
             r1 = (chunk["stBin1"].values - dev["min1"]).astype(np.int32)
             r2 = (chunk["stBin2"].values - dev["min2"]).astype(np.int32)
             dd0 = (
@@ -384,28 +406,9 @@ class PileUpper:
             )
 
             S = len(chunk)
-            Spad = max(256, _next_pow2(S))
-            block = min(512, Spad)
+            Spad = max(64 if self.rescale else 256, _next_pow2(S))
             C = max(8, _next_pow2(len(cid_of)))
-
-            tile_stack = build_tile_stack(
-                dev["coo"], B, r1=r1, r2=r2, window1=W, window2=W
-            )
-            cfg = GatherConfig(
-                W=W,
-                B=B,
-                S=Spad,
-                block=block,
-                capacity=C,
-                cis=dev["cis"],
-                ignore_diags=int(self.ignore_diags),
-                ooe=bool(use_expected and self.ooe),
-                emit_expected=emit_expected,
-                coverage=coverage,
-                stripes=bool(self.store_stripes),
-                large_g=len(cid_of) > 512,
-            )
-            step = make_pileup_step(cfg)
+            large_g = len(cid_of) > 512
 
             def pad(a, fill=0):
                 out = np.full(Spad, fill, a.dtype)
@@ -414,22 +417,81 @@ class PileUpper:
 
             snipmask = np.zeros(Spad, bool)
             snipmask[:S] = True
-            out = step(
-                tile_stack.tiles,
-                tile_stack.tile_map.ravel(),
-                np.int32(tile_stack.tile_map.shape[1]),
+            common_args = (
                 dev["evec"],
                 dev["valid1"],
                 dev["valid2"],
                 dev["cov1"],
                 dev["cov2"],
-                pad(r1),
-                pad(r2),
-                pad(dd0),
-                pad(cid),
-                pad(flip, False),
-                snipmask,
             )
+            if self.rescale:
+                block = min(64, Spad)
+                tile_stack = build_tile_stack(
+                    dev["coo"], B, r1=r1, r2=r2, window1=h1, window2=w2
+                )
+                cfg = RescaleConfig(
+                    R=R,
+                    Hmax=Hmax,
+                    B=B,
+                    S=Spad,
+                    block=block,
+                    capacity=C,
+                    cis=dev["cis"],
+                    ignore_diags=int(self.ignore_diags),
+                    ooe=bool(use_expected and self.ooe),
+                    emit_expected=emit_expected,
+                    coverage=coverage,
+                    stripes=bool(self.store_stripes),
+                    local=bool(self.local),
+                    large_g=large_g,
+                )
+                step = make_rescale_step(cfg)
+                out = step(
+                    tile_stack.tiles,
+                    tile_stack.tile_map.ravel(),
+                    np.int32(tile_stack.tile_map.shape[1]),
+                    *common_args,
+                    pad(r1),
+                    pad(r2),
+                    pad(h1, 1),
+                    pad(w2, 1),
+                    pad(dd0),
+                    pad(cid),
+                    pad(flip, False),
+                    snipmask,
+                )
+            else:
+                block = min(512, Spad)
+                tile_stack = build_tile_stack(
+                    dev["coo"], B, r1=r1, r2=r2, window1=W, window2=W
+                )
+                cfg = GatherConfig(
+                    W=W,
+                    B=B,
+                    S=Spad,
+                    block=block,
+                    capacity=C,
+                    cis=dev["cis"],
+                    ignore_diags=int(self.ignore_diags),
+                    ooe=bool(use_expected and self.ooe),
+                    emit_expected=emit_expected,
+                    coverage=coverage,
+                    stripes=bool(self.store_stripes),
+                    large_g=large_g,
+                )
+                step = make_pileup_step(cfg)
+                out = step(
+                    tile_stack.tiles,
+                    tile_stack.tile_map.ravel(),
+                    np.int32(tile_stack.tile_map.shape[1]),
+                    *common_args,
+                    pad(r1),
+                    pad(r2),
+                    pad(dd0),
+                    pad(cid),
+                    pad(flip, False),
+                    snipmask,
+                )
             out = {k: np.asarray(v, np.float64) for k, v in out.items()}
 
             for k in out:
@@ -532,11 +594,6 @@ class PileUpper:
         if outdict["ROI"]["all"]["n"] > 0:
             logger.info(f"{region1, region2}: {outdict['ROI']['all']['n']}")
         return outdict
-
-    def _pileup_region_rescale(
-        self, region1, region2, dev, groupby, modify_func, postprocess_frame_func
-    ):
-        raise NotImplementedError  # installed by engine/rescale_mixin
 
     # -- the full run (reference coolpup.py:1360–1654) ----------------------
 

@@ -1,0 +1,246 @@
+"""Mode coverage: shifted controls (numeric vs oracle), local, coverage_norm,
+bedpe, trans, by_window, flip_negative_strand."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coolpuppy_tpu import CoordCreator, PileUpper, pileup
+
+from fixtures import make_toy_cooler, toy_features, toy_regions
+from oracle import oracle_snip, oracle_accumulate
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cool") / "toy.cool"
+    return make_toy_cooler(str(path), seed=5)
+
+
+def oracle_region_accumulate(clr, weights, cc, regions, control, coverage=None):
+    """Oracle over CC.batches snips for both kinds; returns dict kind->acc."""
+    out = {"ROI": [], "control": []}
+    for _, reg in regions.iterrows():
+        rt = (reg["chrom"], reg["start"], reg["end"])
+        lo, hi = clr.extent(rt)
+        off = clr.offset(reg["chrom"])
+        min_left = lo - off
+        n = hi - lo
+        csr = clr.fetch_coo(rt, balance="weight" if weights is not None else False).tocsr()
+        isnan = (
+            np.isnan(weights[lo:hi])
+            if weights is not None
+            else np.zeros(n, bool)
+        )
+        cov = coverage[lo:hi] if coverage is not None else None
+        for frame in cc.batches(rt, None, control=control):
+            for _, row in frame.iterrows():
+                r1 = int(row["stBin1"]) - min_left
+                r2 = int(row["stBin2"]) - min_left
+                W = int(row["endBin1"] - row["stBin1"])
+                if r1 < 0 or r2 < 0 or r1 + W > n or r2 + W > n:
+                    continue
+                data, _ = oracle_snip(
+                    csr,
+                    r1,
+                    r2,
+                    W,
+                    W,
+                    isnan,
+                    isnan,
+                    dd0=int(row["stBin1"] - row["stBin2"]),
+                    ignore_diags=2,
+                    cis=True,
+                )
+                cs = cov[r1 : r1 + W] if cov is not None else np.zeros(W)
+                ce = cov[r2 : r2 + W] if cov is not None else np.zeros(W)
+                out[row["kind"]].append((data, cs, ce))
+    return {k: oracle_accumulate(v) for k, v in out.items() if v}
+
+
+def test_controls_vs_oracle(toy):
+    clr, dense, weights = toy
+    regions = toy_regions()
+    cc = CoordCreator(
+        toy_features(),
+        1_000_000,
+        features_format="bed",
+        flank=2_000_000,
+        mindist=0,
+        nshifts=3,
+        seed=11,
+    )
+    pu = PileUpper(clr, cc, expected=False, view_df=regions, control=True)
+    pup = pu.pileupsWithControl()
+    got = pup.loc[pup["group"] == "all", "data"].iloc[0]
+    accs = oracle_region_accumulate(clr, weights, cc, regions, control=True)
+    roi = accs["ROI"]
+    ctrl = accs["control"]
+    want = (roi["data"] / roi["num"]) / (ctrl["data"] / ctrl["num"])
+    want = np.where(np.isinf(want), np.nan, want)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-8, equal_nan=True)
+    assert int(pup.loc[pup["group"] == "all", "control_n"].iloc[0]) == ctrl["n"]
+
+
+def test_coverage_norm_vs_oracle(toy):
+    clr, dense, weights = toy
+    regions = toy_regions()
+    cc = CoordCreator(
+        toy_features(),
+        1_000_000,
+        features_format="bed",
+        flank=2_000_000,
+        mindist=0,
+        nshifts=0,
+    )
+    pu = PileUpper(
+        clr,
+        cc,
+        expected=False,
+        ooe=False,
+        view_df=regions,
+        clr_weight_name=None,
+        coverage_norm=True,
+    )
+    pup = pu.pileupsWithControl()
+    got = pup.loc[pup["group"] == "all", "data"].iloc[0]
+
+    from coolpuppy_tpu.coverage import coverage as compute_cov
+
+    _, cov_tot = compute_cov(clr, ignore_diags=2)
+    accs = oracle_region_accumulate(
+        clr, None, cc, regions, control=False, coverage=cov_tot
+    )
+    roi = accs["ROI"]
+    # reference: norm_coverage on accumulated pup, then /num
+    # (coolpup.py:1533–1541, lib/puputils.py:168–190)
+    covmat = np.outer(roi["cov_start"], roi["cov_end"])
+    covmat = covmat / np.nanmean(covmat)
+    data = roi["data"] / covmat
+    data[np.isnan(data)] = 0
+    want = data / roi["num"]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-8, equal_nan=True)
+
+
+def test_local_pileup(toy):
+    clr, dense, weights = toy
+    cc = CoordCreator(
+        toy_features(),
+        1_000_000,
+        features_format="bed",
+        flank=2_000_000,
+        local=True,
+        nshifts=0,
+        mindist=0,
+    )
+    pu = PileUpper(clr, cc, expected=False, ooe=False, view_df=toy_regions())
+    pup = pu.pileupsWithControl()
+    got = pup.loc[pup["group"] == "all", "data"].iloc[0]
+    assert pup["n"].iloc[0] == 6
+    # symmetric output
+    np.testing.assert_allclose(got, got.T, equal_nan=True)
+
+
+def test_bedpe_pileup(toy):
+    clr, dense, weights = toy
+    feats = pd.DataFrame(
+        {
+            "chrom1": ["chr1", "chr1", "chr2"],
+            "start1": [102_000_000, 102_000_000, 102_000_000],
+            "end1": [102_500_000, 102_500_000, 102_500_000],
+            "chrom2": ["chr1", "chr1", "chr2"],
+            "start2": [105_000_000, 108_000_000, 108_000_000],
+            "end2": [105_500_000, 108_500_000, 108_500_000],
+        }
+    )
+    pup = pileup(
+        clr=clr,
+        features=feats,
+        features_format="bedpe",
+        view_df=toy_regions(),
+        mindist=0,
+        flank=2_000_000,
+    )
+    assert pup["n"].iloc[0] == 3
+
+    # same accumulation through the bed path over matching anchor pairs
+    cc = CoordCreator(
+        feats, 1_000_000, features_format="bedpe", flank=2_000_000, mindist=0
+    )
+    pu = PileUpper(clr, cc, expected=False, ooe=False, view_df=toy_regions())
+    pup2 = pu.pileupsWithControl()
+    np.testing.assert_allclose(
+        pup.loc[pup["group"] == "all", "data"].iloc[0],
+        pup2.loc[pup2["group"] == "all", "data"].iloc[0],
+        equal_nan=True,
+    )
+
+
+def test_trans_pileup(toy):
+    clr, dense, weights = toy
+    pup = pileup(
+        clr=clr,
+        features=toy_features(),
+        features_format="bed",
+        view_df=toy_regions(),
+        trans=True,
+        flank=2_000_000,
+    )
+    # 3 features per chrom -> 3x3 cross products between foo and bar
+    assert pup["n"].iloc[0] == 9
+    got = pup.loc[pup["group"] == "all", "data"].iloc[0]
+
+    # oracle: trans windows, no diag mask
+    snips = []
+    lo1, hi1 = clr.extent(("chr1", 100_000_000, 150_000_000))
+    lo2, hi2 = clr.extent(("chr2", 100_000_000, 150_000_000))
+    csr = clr.fetch_coo(
+        ("chr1", 100_000_000, 150_000_000),
+        ("chr2", 100_000_000, 150_000_000),
+        balance="weight",
+    ).tocsr()
+    isnan1 = np.isnan(weights[lo1:hi1])
+    isnan2 = np.isnan(weights[lo2:hi2])
+    for c1 in (102, 105, 108):
+        for c2 in (102, 105, 108):
+            r1, r2 = c1 - 2 - 100, c2 - 2 - 100
+            data, _ = oracle_snip(
+                csr, r1, r2, 5, 5, isnan1, isnan2, dd0=0, cis=False
+            )
+            snips.append((data, np.zeros(5), np.zeros(5)))
+    acc = oracle_accumulate(snips)
+    want = acc["data"] / acc["num"]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-8, equal_nan=True)
+
+
+def test_by_window(toy):
+    clr, dense, weights = toy
+    pup = pileup(
+        clr=clr,
+        features=toy_features(),
+        features_format="bed",
+        view_df=toy_regions(),
+        mindist=0,
+        flank=2_000_000,
+        by_window=True,
+    )
+    # one row per feature + "all"
+    assert pup.shape[0] == 7
+    allrow = pup[pup["chrom"] == "all"]
+    assert int(allrow["n"].iloc[0]) == 12  # each pair contributes to 2 windows
+    per_window = pup[pup["chrom"] != "all"]
+    assert set(per_window["n"]) == {2}
+
+
+def test_flip_negative_strand(toy):
+    clr, dense, weights = toy
+    pup = pileup(
+        clr=clr,
+        features=toy_features(),
+        features_format="bed",
+        view_df=toy_regions(),
+        mindist=0,
+        flank=2_000_000,
+        flip_negative_strand=True,
+    )
+    assert pup["n"].iloc[0] == 6
