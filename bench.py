@@ -1,0 +1,195 @@
+"""Benchmark: fused pile-up throughput on one chip at 1M loci.
+
+Workload (BASELINE.json): a synthetic 20k-bin chromosome (200 Mb @ 10 kb) with
+distance-decaying sparse contacts, 1M loci pairs, 21x21 windows, OOE
+normalization, 4 strand groups, random flips — the loop-APA shape.
+
+Measures the full per-chunk pipeline the engine runs (host tile-stack scatter
++ device fused gather/normalize/accumulate) in steady state, and compares
+against the reference's hot-loop equivalent (scipy CSR window slicing + NaN
+masking + nansum accumulation, reference coolpup.py:1104–1191) measured on a
+subset of the same snips.
+
+Prints one JSON line:
+  {"metric": "snippets_per_sec", "value": ..., "unit": "snips/s",
+   "vs_baseline": <speedup over the scipy reference loop>} plus details.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def make_workload(n_bins=20_000, nnz_target=12_000_000, n_loci=1_000_000,
+                  W=21, seed=0):
+    rng = np.random.default_rng(seed)
+    # distance-decay sparse matrix (upper triangle), denser near the diagonal
+    d = rng.zipf(1.35, nnz_target * 2)
+    d = d[d < n_bins][:nnz_target]
+    i = rng.integers(0, n_bins, len(d))
+    j = np.minimum(i + d, n_bins - 1)
+    vals = rng.gamma(1.0, 2.0, len(d)).astype(np.float32)
+    from scipy import sparse as sp
+
+    coo = sp.coo_matrix(
+        (np.concatenate([vals, vals]),
+         (np.concatenate([i, j]), np.concatenate([j, i]))),
+        shape=(n_bins, n_bins),
+    )
+    coo.sum_duplicates()
+    csr = coo.tocsr()
+
+    # loci: loop-like anchors at 100kb-2Mb separations
+    a1 = rng.integers(0, n_bins - 300, n_loci)
+    sep = rng.integers(10, 200, n_loci)
+    a2 = np.minimum(a1 + sep, n_bins - W - 1)
+    r1 = a1.astype(np.int32)
+    r2 = a2.astype(np.int32)
+    gid = rng.integers(0, 4, n_loci).astype(np.int32)
+    flip = rng.random(n_loci) < 0.25
+    valid = (rng.random(n_bins) > 0.03).astype(np.float32)
+    evec = (100.0 / (1.0 + np.arange(n_bins))).astype(np.float32)
+    return csr, coo, r1, r2, gid, flip, valid, evec
+
+
+def bench_tpu(csr, coo, r1, r2, gid, flip, valid, evec, W, chunk, repeats=3):
+    import jax
+    from coolpuppy_tpu.ops.gather import GatherConfig, make_pileup_step
+    from coolpuppy_tpu.ops.tiles import build_tile_stack
+
+    B = 64
+    S = chunk
+    cfg = GatherConfig(
+        W=W, B=B, S=S, block=min(1024, S), capacity=8, cis=True,
+        ignore_diags=2, ooe=True, emit_expected=False, coverage=False,
+        stripes=False,
+    )
+    step = make_pileup_step(cfg)
+
+    n_bins = csr.shape[0]
+    pad = 1 << int(np.ceil(np.log2(n_bins + B)))
+    validp = np.zeros(pad, np.float32)
+    validp[:n_bins] = valid
+    evecp = np.full(pad, np.nan, np.float32)
+    evecp[:n_bins] = evec
+    cov = np.zeros(8, np.float32)
+
+    n_loci = len(r1)
+    n_chunks = n_loci // S
+    sm = np.ones(S, bool)
+
+    def run_all():
+        outs = None
+        gathered_nnz = 0
+        for c in range(n_chunks):
+            sl = slice(c * S, (c + 1) * S)
+            ts = build_tile_stack(
+                coo, B, r1=r1[sl], r2=r2[sl], window1=W, window2=W
+            )
+            gathered_nnz += int(ts.tiles.astype(bool).sum())
+            out = step(
+                ts.tiles, ts.tile_map.ravel(),
+                np.int32(ts.tile_map.shape[1]),
+                evecp, validp, validp, cov, cov,
+                r1[sl], r2[sl], (r1[sl] - r2[sl]).astype(np.int32),
+                gid[sl], sm,
+            )
+            outs = out
+        jax.block_until_ready(outs)
+        return gathered_nnz
+
+    # warmup (compile)
+    t0 = time.time()
+    sl = slice(0, S)
+    ts = build_tile_stack(coo, B, r1=r1[sl], r2=r2[sl], window1=W, window2=W)
+    out = step(
+        ts.tiles, ts.tile_map.ravel(), np.int32(ts.tile_map.shape[1]),
+        evecp, validp, validp, cov, cov,
+        r1[sl], r2[sl], (r1[sl] - r2[sl]).astype(np.int32),
+        gid[sl], sm,
+    )
+    jax.block_until_ready(out)
+    compile_time = time.time() - t0
+
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        nnz = run_all()
+        dt = time.time() - t0
+        best = min(best, dt)
+    snips = n_chunks * S
+    return snips / best, best, compile_time, snips
+
+
+def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
+    """The reference's per-snip hot loop (coolpup.py:1104–1191): CSR slice ->
+    dense, NaN bad rows/cols, diag mask, ooe divide, nansum-accumulate."""
+    isnan = valid < 0.5
+    acc = np.zeros((W, W))
+    num = np.zeros((W, W), np.int64)
+    ar = np.arange(W)
+    ii, jj = np.meshgrid(ar, ar, indexing="ij")
+    t0 = time.time()
+    for s in range(n):
+        a, b = int(r1[s]), int(r2[s])
+        data = csr[a : a + W, b : b + W].toarray().astype(float)
+        data[isnan[a : a + W], :] = np.nan
+        data[:, isnan[b : b + W]] = np.nan
+        D = np.abs(a - b + ii - jj)
+        data[D < 2] = np.nan
+        with np.errstate(divide="ignore", invalid="ignore"):
+            exp = evec[np.minimum(D, len(evec) - 1)]
+            data = data / exp
+        acc = np.nansum([acc, data], axis=0)
+        num += np.isfinite(data)
+    dt = time.time() - t0
+    return n / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--loci", type=int, default=1_000_000)
+    ap.add_argument("--chunk", type=int, default=65_536)
+    ap.add_argument("--ref-snips", type=int, default=20_000)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.loci, args.chunk, args.ref_snips = 131_072, 32_768, 2_000
+
+    W = 21
+    csr, coo, r1, r2, gid, flip, valid, evec = make_workload(
+        n_loci=args.loci, W=W
+    )
+    tpu_rate, best, compile_time, snips = bench_tpu(
+        csr, coo, r1, r2, gid, flip, valid, evec, W, args.chunk
+    )
+    ref_rate = bench_reference_loop(
+        csr, r1, r2, valid, evec, W, n=args.ref_snips
+    )
+    import jax
+
+    print(
+        json.dumps(
+            {
+                "metric": "snippets_per_sec",
+                "value": round(tpu_rate),
+                "unit": "snips/s",
+                "vs_baseline": round(tpu_rate / ref_rate, 2),
+                "detail": {
+                    "device": str(jax.devices()[0]),
+                    "loci": snips,
+                    "window": W,
+                    "wall_s": round(best, 3),
+                    "compile_s": round(compile_time, 2),
+                    "ref_scipy_snips_per_sec": round(ref_rate),
+                    "pixels_per_sec": round(tpu_rate * W * W),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,7 @@ from ..lib.puputils import (
     norm_coverage,
     sum_pups,
 )
-from ..ops.gather import GatherConfig, make_pileup_step
+from ..ops.gather import GatherConfig, make_pileup_step, merge_flip_banks
 from ..ops.tiles import build_tile_stack
 from ..ops.rescale import RescaleConfig, make_rescale_step
 from .. import coverage as coverage_mod
@@ -407,7 +407,12 @@ class PileUpper:
 
             S = len(chunk)
             Spad = max(64 if self.rescale else 256, _next_pow2(S))
-            C = max(8, _next_pow2(len(cid_of)))
+            # flipped snips accumulate into a second bank of slots and get
+            # anti-transposed once per group afterwards (merge_flip_banks)
+            Chalf = max(4, _next_pow2(len(cid_of)))
+            C = 2 * Chalf
+            cid_logical = cid
+            cid = (cid + Chalf * flip).astype(np.int32)
             large_g = len(cid_of) > 512
 
             def pad(a, fill=0):
@@ -457,7 +462,6 @@ class PileUpper:
                     pad(w2, 1),
                     pad(dd0),
                     pad(cid),
-                    pad(flip, False),
                     snipmask,
                 )
             else:
@@ -489,10 +493,10 @@ class PileUpper:
                     pad(r2),
                     pad(dd0),
                     pad(cid),
-                    pad(flip, False),
                     snipmask,
                 )
             out = {k: np.asarray(v, np.float64) for k, v in out.items()}
+            out = merge_flip_banks(out, Chalf)
 
             for k in out:
                 if k in ("horizontal_stripe", "vertical_stripe"):
@@ -511,7 +515,7 @@ class PileUpper:
                         acc[k] = prev
                     prev[: cur.shape[0]] += cur
 
-            counts = np.bincount(cid, minlength=len(cid_of))
+            counts = np.bincount(cid_logical, minlength=len(cid_of))
             for i, c in enumerate(counts):
                 n_counts[i] = n_counts.get(i, 0) + int(c)
 
@@ -534,7 +538,7 @@ class PileUpper:
                 ]
                 for i in range(S):
                     entry = stripes.setdefault(
-                        int(cid[i]), {"h": [], "v": [], "coords": []}
+                        int(cid_logical[i]), {"h": [], "v": [], "coords": []}
                     )
                     entry["h"].append(hs[i])
                     entry["v"].append(vs[i])

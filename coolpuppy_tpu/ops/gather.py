@@ -14,6 +14,11 @@ mask planes:
   have been +inf (ooe division by an expected of 0), turned into NaN at the
   end exactly like reference coolpup.py:1550–1552.
 
+Snippet flipping (reference rot90∘flipud, coolpup.py:128–131) is linear, so it
+is hoisted out of the hot loop entirely: callers route flipped snips to a
+second bank of accumulator slots (cid + capacity/2) and anti-transpose that
+bank once per group at the end (see merge_flip_banks).
+
 Expected windows are an in-kernel toeplitz gather ``evec[|dd0 + i − j|]``
 (replaces cooltools LazyToeplitz / ExpectedSnipper.select, reference
 coolpup.py:907–917, 1100–1149); a length-1 ``evec`` gives the trans scalar
@@ -94,7 +99,15 @@ def _segment_add(acc, cid, planes, cfg):
 
 @lru_cache(maxsize=64)
 def make_pileup_step(cfg: GatherConfig):
-    """Build the jitted fused step for a static config. Returns
+    """Jitted fused step for a static config (see make_pileup_step_fn)."""
+    return jax.jit(make_pileup_step_fn(cfg))
+
+
+@lru_cache(maxsize=64)
+def make_pileup_step_fn(cfg: GatherConfig):
+    """Build the raw (unjitted) fused step for a static config — jit it
+    directly for single-chip use or wrap in shard_map for multi-chip
+    (parallel/mesh.py). Returns
     step(tiles, tmap, ncolp, evec, valid1, valid2, cov1, cov2,
          r1, r2, dd0, cid, flip, snipmask) -> dict of accumulators."""
 
@@ -106,7 +119,7 @@ def make_pileup_step(cfg: GatherConfig):
     dij = ii - jj  # [W, W]
 
     def block_fn(carry, xs, tiles, tmap, ncolp, evec, valid1, valid2, cov1, cov2):
-        r1, r2, dd0, cid, flip, snipmask = xs
+        r1, r2, dd0, cid, snipmask = xs
         win = _gather_windows(tiles, tmap, ncolp, r1, r2, cfg)
 
         v1 = _slice_vec(valid1, r1, W)  # [b, W] 1.0 = usable bin
@@ -141,18 +154,12 @@ def make_pileup_step(cfg: GatherConfig):
             snip_nan = jnp.where((mask > 0) & finite, val, jnp.nan)
             hstripe = snip_nan[:, cntr, :]
             vstripe = snip_nan[:, ::-1, cntr]
-            # restore the reference's NaN (not masked-out) pixels: masked
-            # pixels are NaN in its stripes too, so this matches.
+            # masked pixels are NaN in the reference's stripes too; stripes
+            # are extracted pre-flip (coolpup.py:1164–1188), which the
+            # flip-bank accumulation preserves automatically.
             stripes_out = (hstripe, vstripe)
         else:
             stripes_out = ()
-
-        # flip AFTER stripes (the reference extracts stripes pre-flip,
-        # coolpup.py:1164–1188 vs flip at accumulate_stream postprocess)
-        do_flip = flip[:, None, None]
-        contrib = jnp.where(do_flip, _antitranspose(contrib), contrib)
-        numplane = jnp.where(do_flip, _antitranspose(numplane), numplane)
-        poisplane = jnp.where(do_flip, _antitranspose(poisplane), poisplane)
 
         acc = dict(carry)
         acc["sum"] = _segment_add(acc["sum"], cid, contrib, cfg)
@@ -166,8 +173,6 @@ def make_pileup_step(cfg: GatherConfig):
             efinite = jnp.isfinite(ew)
             econtrib = jnp.where(efinite, ew, 0.0) * smask
             enumplane = efinite.astype(jnp.float32) * smask
-            econtrib = jnp.where(do_flip, _antitranspose(econtrib), econtrib)
-            enumplane = jnp.where(do_flip, _antitranspose(enumplane), enumplane)
             acc["exp_sum"] = _segment_add(acc["exp_sum"], cid, econtrib, cfg)
             acc["exp_num"] = _segment_add(acc["exp_num"], cid, enumplane, cfg)
 
@@ -182,7 +187,7 @@ def make_pileup_step(cfg: GatherConfig):
         return acc, stripes_out
 
     def step(tiles, tmap, ncolp, evec, valid1, valid2, cov1, cov2,
-             r1, r2, dd0, cid, flip, snipmask):
+             r1, r2, dd0, cid, snipmask):
         zeros = lambda *shape: jnp.zeros(shape, jnp.float32)  # noqa: E731
         acc = {
             "sum": zeros(C, W, W),
@@ -200,7 +205,7 @@ def make_pileup_step(cfg: GatherConfig):
             return x.reshape(nblocks, cfg.block, *x.shape[1:])
 
         xs = tuple(
-            reshape_blocks(x) for x in (r1, r2, dd0, cid, flip, snipmask)
+            reshape_blocks(x) for x in (r1, r2, dd0, cid, snipmask)
         )
         body = partial(
             block_fn,
@@ -221,7 +226,26 @@ def make_pileup_step(cfg: GatherConfig):
             out["vertical_stripe"] = v.reshape(cfg.S, W)
         return out
 
-    return jax.jit(step)
+    return step
+
+
+def merge_flip_banks(out, half):
+    """Collapse the flip bank: slots [half:2*half] hold snips accumulated
+    unflipped that *should* be flipped; anti-transpose those sums once and add
+    them to slots [0:half]. Linearity of the flip makes this exactly equal to
+    flipping every snip individually (reference coolpup.py:128–131).
+    Coverage vectors are NOT flipped, matching the reference (flip_snip_func
+    swaps no cov_ keys)."""
+    merged = {}
+    for k, v in out.items():
+        if k in ("horizontal_stripe", "vertical_stripe"):
+            merged[k] = v
+            continue
+        lo, hi = v[:half], v[half : 2 * half]
+        if v.ndim == 3:  # [C, W, W] planes get anti-transposed
+            hi = np.flip(hi, axis=(-2, -1)).swapaxes(-2, -1)
+        merged[k] = lo + hi
+    return merged
 
 
 def _next_pow2(x):

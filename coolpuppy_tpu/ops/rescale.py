@@ -28,7 +28,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 
-from .gather import _antitranspose, _gather_windows, _segment_add, _slice_vec
+from .gather import _gather_windows, _segment_add, _slice_vec
 
 
 @dataclass(frozen=True)
@@ -148,7 +148,7 @@ def make_rescale_step(cfg: RescaleConfig):
         return out_contrib, out_num, e_contrib, e_num
 
     def block_fn(carry, xs, tiles, tmap, ncolp, evec, valid1, valid2, cov1, cov2):
-        r1, r2, h1, w2, dd0, cid, flip, snipmask = xs
+        r1, r2, h1, w2, dd0, cid, snipmask = xs
 
         class _G:  # adapter: reuse the shared tile gather at W=Hmax
             W = H
@@ -173,10 +173,6 @@ def make_rescale_step(cfg: RescaleConfig):
         else:
             stripes_out = ()
 
-        do_flip = flip[:, None, None]
-        contrib = jnp.where(do_flip, _antitranspose(contrib), contrib)
-        num = jnp.where(do_flip, _antitranspose(num), num)
-
         acc = dict(carry)
         acc["sum"] = _segment_add(acc["sum"], cid, contrib, cfg)
         acc["num"] = _segment_add(acc["num"], cid, num, cfg)
@@ -184,8 +180,6 @@ def make_rescale_step(cfg: RescaleConfig):
         if cfg.emit_expected:
             e_contrib = e_contrib * smask
             e_num = e_num * smask
-            e_contrib = jnp.where(do_flip, _antitranspose(e_contrib), e_contrib)
-            e_num = jnp.where(do_flip, _antitranspose(e_num), e_num)
             acc["exp_sum"] = _segment_add(acc["exp_sum"], cid, e_contrib, cfg)
             acc["exp_num"] = _segment_add(acc["exp_num"], cid, e_num, cfg)
 
@@ -204,7 +198,7 @@ def make_rescale_step(cfg: RescaleConfig):
         return acc, stripes_out
 
     def step(tiles, tmap, ncolp, evec, valid1, valid2, cov1, cov2,
-             r1, r2, h1, w2, dd0, cid, flip, snipmask):
+             r1, r2, h1, w2, dd0, cid, snipmask):
         zeros = lambda *shape: jnp.zeros(shape, jnp.float32)  # noqa: E731
         acc = {"sum": zeros(C, R, R), "num": zeros(C, R, R),
                "poison": zeros(C, R, R)}
@@ -218,7 +212,7 @@ def make_rescale_step(cfg: RescaleConfig):
         def rb(x):
             return x.reshape(nblocks, cfg.block, *x.shape[1:])
 
-        xs = tuple(rb(x) for x in (r1, r2, h1, w2, dd0, cid, flip, snipmask))
+        xs = tuple(rb(x) for x in (r1, r2, h1, w2, dd0, cid, snipmask))
         body = partial(
             block_fn, tiles=tiles, tmap=tmap, ncolp=ncolp, evec=evec,
             valid1=valid1, valid2=valid2, cov1=cov1, cov2=cov2,
