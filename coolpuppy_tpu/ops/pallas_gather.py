@@ -1,0 +1,323 @@
+"""Pallas TPU kernel: quad-sorted fused window-gather + accumulate.
+
+The XLA path (ops/gather.py) materializes a 2Bx2B superwindow per snip, which
+moves ~40x more HBM bytes than the windows themselves and tops out on
+per-snip dynamic-slice overhead. This kernel exploits snip locality instead:
+
+1. Host sorts snips by their tile *quad* (the 2x2 block of B=128 tiles their
+   window touches) — near-diagonal loci cluster heavily, so a quad averages
+   tens-to-hundreds of snips.
+2. Grid = one step per quad. Each step DMAs the quad's 4 tiles from HBM into
+   a VMEM superwindow once and builds the quad's bad-bin mask plane as a
+   rank-1 outer product on the MXU (dot_general of the two validity column
+   vectors — no transposes). Then it loops over the quad's snips with pure
+   VPU work.
+3. Mosaic's lane-alignment rules (dynamic offsets in the last dim must be
+   128-multiples) shape the inner loop: windows are cut as [W, 2B] sublane
+   slices and rotated into place with a dynamic lane roll; the expected
+   toeplitz is built from a [2W-1] sublane slice of a *pre-folded* expected
+   vector (evec2[x] = expected[|x - n0|], so no abs() in the index) with a
+   statically-unrolled 2W-1-term shift sum.
+4. Per-snip scalars (o1, o2, dd0, cid) ride in SMEM via scalar prefetch; the
+   [C, W, W] group accumulators are kernel outputs whose block is constant
+   across the sequential TPU grid, so accumulation needs no atomics.
+
+Flips are handled by the caller via the flip-bank trick (ops/gather.py
+merge_flip_banks) — no flip work in-kernel. Semantics are identical to
+ops/gather.py (same mask planes, poison handling; reference hot loop
+coolpup.py:1104–1191).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PALLAS_B = 128  # tile size: lane-aligned DMA destinations require this
+
+
+@dataclass(frozen=True)
+class PallasGatherConfig:
+    W: int
+    Q: int  # quad slots (padded)
+    capacity: int
+    cis: bool
+    ignore_diags: int
+    ooe: bool
+    interpret: bool = False
+    B: int = PALLAS_B
+
+    def __post_init__(self):
+        assert self.W <= self.B
+
+
+def prep_quads(r1, r2, tile_map, B):
+    """Sort snips by tile quad; returns (order, quad scalar arrays dict)."""
+    t1, t2 = r1 // B, r2 // B
+    ncol = tile_map.shape[1]
+    q = t1.astype(np.int64) * ncol + t2
+    order = np.argsort(q, kind="stable")
+    qs = q[order]
+    uniq, starts, counts = np.unique(qs, return_index=True, return_counts=True)
+    ut1 = (uniq // ncol).astype(np.int64)
+    ut2 = (uniq % ncol).astype(np.int64)
+    quads = {
+        "k00": tile_map[ut1, ut2].astype(np.int32),
+        "k01": tile_map[ut1, ut2 + 1].astype(np.int32),
+        "k10": tile_map[ut1 + 1, ut2].astype(np.int32),
+        "k11": tile_map[ut1 + 1, ut2 + 1].astype(np.int32),
+        "qb1": (ut1 * B).astype(np.int32),
+        "qb2": (ut2 * B).astype(np.int32),
+        "qstart": starts.astype(np.int32),
+        "qcount": counts.astype(np.int32),
+    }
+    return order, quads
+
+
+def pad_quads(quads, Q):
+    out = {}
+    n = len(quads["qstart"])
+    assert n <= Q, f"too many quads ({n}) for Q={Q}"
+    for k, v in quads.items():
+        arr = np.zeros(Q, np.int32)
+        arr[:n] = v
+        out[k] = arr
+    return out
+
+
+@lru_cache(maxsize=32)
+def make_pallas_pileup_step(cfg: PallasGatherConfig):
+    W, B, C = cfg.W, cfg.B, cfg.capacity
+    E = 2 * W - 1  # toeplitz span per snip
+
+    def kernel(
+        k00, k01, k10, k11, qb1, qb2, qstart, qcount, o1, o2, dd0, cid, n0ref,
+        tiles_ref, valid1_ref, valid2_ref, evec2_ref,
+        sum_ref, num_ref, pois_ref,
+        sup, msup, esup, sems,
+    ):
+        q = pl.program_id(0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        dij = ii - jj
+
+        @pl.when(q == 0)
+        def _():
+            sum_ref[...] = jnp.zeros_like(sum_ref)
+            num_ref[...] = jnp.zeros_like(num_ref)
+            pois_ref[...] = jnp.zeros_like(pois_ref)
+
+        cnt = qcount[q]
+
+        @pl.when(cnt > 0)
+        def _():
+            copies = [
+                pltpu.make_async_copy(
+                    tiles_ref.at[k00[q]], sup.at[0:B, 0:B], sems.at[0]
+                ),
+                pltpu.make_async_copy(
+                    tiles_ref.at[k01[q]], sup.at[0:B, B : 2 * B], sems.at[1]
+                ),
+                pltpu.make_async_copy(
+                    tiles_ref.at[k10[q]], sup.at[B : 2 * B, 0:B], sems.at[2]
+                ),
+                pltpu.make_async_copy(
+                    tiles_ref.at[k11[q]], sup.at[B : 2 * B, B : 2 * B],
+                    sems.at[3],
+                ),
+            ]
+            for c in copies:
+                c.start()
+
+            # quad origins are tile-aligned; tell Mosaic so the sublane
+            # slices below are provably 8-aligned
+            base1 = pl.multiple_of(qb1[q], B)
+            base2 = pl.multiple_of(qb2[q], B)
+            # quad bad-bin mask plane: outer(v1, v2) without a transpose —
+            # contract the singleton dims on the MXU
+            v1seg = valid1_ref[pl.ds(base1, 2 * B), 0:1]  # [2B, 1]
+            v2seg = valid2_ref[pl.ds(base2, 2 * B), 0:1]  # [2B, 1]
+            msup[...] = jax.lax.dot_general(
+                v1seg,
+                v2seg,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if cfg.ooe:
+                # per-quad expected plane: esup[x, y] = evec2[dq + x - y]
+                # (dq = quad-origin diagonal in folded coords). Build the
+                # transposed staircase with a lane roll whose shift strides
+                # along sublanes (Mosaic only strides non-minor axes), then
+                # transpose once per quad.
+                dq = n0ref[0] + qb1[q] - qb2[q]
+                fbase = dq - (2 * B - 1)
+                fb_al = pl.multiple_of((fbase // 8) * 8, 8)
+                f_off = fbase - fb_al
+                f = evec2_ref[pl.ds(fb_al, 4 * B + 8), 0:1]  # [4B+8, 1]
+                f = pltpu.roll(f, -f_off, 0)[0 : 4 * B, :]
+                # NaN (missing expected) would poison the transpose matmul;
+                # ride through as a negative sentinel, restored at the cut
+                f = jnp.where(jnp.isfinite(f), f, -1.0)
+                # f column -> row via MXU (contract with identity)
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (4 * B, 4 * B), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (4 * B, 4 * B), 1)
+                ).astype(jnp.float32)
+                f_row = jax.lax.dot_general(
+                    f, eye,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [1, 4B]
+                fb = jnp.broadcast_to(f_row, (2 * B, 4 * B))
+                # planeT[y, x] = f[(x - (2B+1) - y) mod 4B] = f[x - y + 2B-1]
+                planeT = pltpu.roll(
+                    fb, 2 * B + 1, 1, stride=1, stride_axis=0
+                )[:, 0 : 2 * B]
+                esup[...] = planeT.T
+
+            for c in copies:
+                c.wait()
+
+            # sublane dynamic offsets must be 8-aligned: load an aligned
+            # over-slice and rotate into place
+            WA = ((W + 8 + 7) // 8) * 8
+
+            def body(j, _):
+                s = qstart[q] + j
+                a = o1[s]
+                b = o2[s]
+                g = cid[s]
+                d0 = dd0[s]
+
+                a_al = pl.multiple_of((a // 8) * 8, 8)
+                a_off = a - a_al
+
+                def cut(ref):
+                    rows = ref[pl.ds(a_al, WA), :]  # [WA, 2B]
+                    rows = pltpu.roll(rows, -a_off, 0)
+                    return pltpu.roll(rows, -b, 1)[0:W, 0:W]
+
+                win = cut(sup)
+                mask = cut(msup)
+
+                if cfg.cis and cfg.ignore_diags > 0:
+                    absd = jnp.abs(d0 + dij)
+                    mask = mask * (absd >= cfg.ignore_diags).astype(
+                        jnp.float32
+                    )
+
+                if cfg.ooe:
+                    ew = cut(esup)
+                    ew = jnp.where(ew >= 0.0, ew, jnp.nan)
+                    val = win / ew
+                else:
+                    val = win
+
+                finite = jnp.isfinite(val)
+                contrib = jnp.where(finite, val, 0.0) * mask
+                numplane = finite.astype(jnp.float32) * mask
+                poisplane = jnp.isinf(val).astype(jnp.float32) * mask
+
+                sum_ref[g] = sum_ref[g] + contrib
+                num_ref[g] = num_ref[g] + numplane
+                pois_ref[g] = pois_ref[g] + poisplane
+                return 0
+
+            jax.lax.fori_loop(0, cnt, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=13,
+        grid=(cfg.Q,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # valid1 [N,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # valid2 [N,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # evec2 [2N,1]
+        ],
+        out_specs=[
+            pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # sup
+            pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # msup
+            pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # esup
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, W, W), jnp.float32),
+            jax.ShapeDtypeStruct((C, W, W), jnp.float32),
+            jax.ShapeDtypeStruct((C, W, W), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )
+
+    @jax.jit
+    def step(k00, k01, k10, k11, qb1, qb2, qstart, qcount,
+             o1, o2, dd0, cid, n0, tiles, valid1, valid2, evec2):
+        s, n, p = call(
+            k00, k01, k10, k11, qb1, qb2, qstart, qcount, o1, o2, dd0, cid,
+            n0, tiles, valid1, valid2, evec2,
+        )
+        return {"sum": s, "num": n, "poison": p}
+
+    return step
+
+
+def fold_expected(evec, pad):
+    """evec2[x] = evec[|x - pad|] (NaN outside), as an [2*pad, 1] array —
+    removes the abs() from the in-kernel toeplitz index."""
+    out = np.full(2 * pad, np.nan, np.float32)
+    n = min(len(evec), pad)
+    out[pad : pad + n] = evec[:n]
+    out[pad - n + 1 : pad + 1] = evec[:n][::-1]
+    return out.reshape(-1, 1)
+
+
+def run_pallas_pileup(
+    tile_stack, r1, r2, dd0, cid, valid1, valid2, evec, cfg_kw
+):
+    """Host wrapper: quad-sort, pad, invoke the kernel. valid1/valid2/evec
+    are flat f32 vectors (evec unfolded; may be [nan] when ooe=False).
+    Returns accumulator dict [C, W, W] (f32 numpy)."""
+    B = tile_stack.B
+    assert B == PALLAS_B
+    order, quads = prep_quads(r1, r2, tile_stack.tile_map, B)
+    nq = len(quads["qstart"])
+    Q = 1 << int(np.ceil(np.log2(max(8, nq))))
+    quads = pad_quads(quads, Q)
+    cfg = PallasGatherConfig(Q=Q, **cfg_kw)
+    step = make_pallas_pileup_step(cfg)
+
+    npad = 1 << int(np.ceil(np.log2(max(len(valid1), len(valid2)) + 4 * B)))
+    v1 = np.zeros((npad, 1), np.float32)
+    v1[: len(valid1), 0] = valid1
+    v2 = np.zeros((npad, 1), np.float32)
+    v2[: len(valid2), 0] = valid2
+    evec2 = fold_expected(np.asarray(evec, np.float32), npad)
+
+    o1 = (r1[order] % B).astype(np.int32)
+    o2 = (r2[order] % B).astype(np.int32)
+    out = step(
+        quads["k00"], quads["k01"], quads["k10"], quads["k11"],
+        quads["qb1"], quads["qb2"], quads["qstart"], quads["qcount"],
+        o1, o2, dd0[order].astype(np.int32), cid[order].astype(np.int32),
+        np.array([npad], np.int32),
+        tile_stack.tiles, v1, v2, evec2,
+    )
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,53 @@
+"""Pallas quad kernel vs the XLA fused step (interpret mode on CPU; the
+compiled path is exercised on TPU by bench.py and scripts/tpu_check.py)."""
+
+import numpy as np
+import pytest
+
+from coolpuppy_tpu.ops.gather import GatherConfig, make_pileup_step
+from coolpuppy_tpu.ops.pallas_gather import run_pallas_pileup
+from coolpuppy_tpu.ops.tiles import build_tile_stack
+from scipy import sparse as sp
+
+
+@pytest.mark.parametrize("ooe", [False, True])
+def test_pallas_matches_xla(ooe):
+    rng = np.random.default_rng(0)
+    n = 300
+    W, B = 11, 128
+    dense = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.3)
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    S = 256
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = rng.integers(0, n - W, S).astype(np.int32)
+    dd0 = (r1 - r2).astype(np.int32)
+    cid = rng.integers(0, 6, S).astype(np.int32)
+    valid = np.zeros(512, np.float32)
+    valid[:n] = (rng.random(n) > 0.1).astype(np.float32)
+    evec = np.full(512, np.nan, np.float32)
+    evec[:n] = (10.0 / (1.0 + np.arange(n))).astype(np.float32)
+    evec[rng.integers(0, n, 5)] = 0.0  # exercise poison
+
+    ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+
+    got = run_pallas_pileup(
+        ts, r1, r2, dd0, cid, valid[:n], valid[:n], evec[:n],
+        dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=ooe,
+             interpret=True),
+    )
+
+    cfg = GatherConfig(
+        W=W, B=B, S=S, block=128, capacity=8, cis=True, ignore_diags=2,
+        ooe=ooe, emit_expected=False, coverage=False, stripes=False,
+    )
+    step = make_pileup_step(cfg)
+    want = step(
+        ts.tiles, ts.tile_map.ravel(), np.int32(ts.tile_map.shape[1]),
+        evec, valid, valid, np.zeros(8, np.float32), np.zeros(8, np.float32),
+        r1, r2, dd0, cid, np.ones(S, bool),
+    )
+    for k in ("sum", "num", "poison"):
+        np.testing.assert_allclose(
+            got[k], np.asarray(want[k]), rtol=1e-5, atol=1e-5
+        )
