@@ -307,6 +307,13 @@ class PileUpper:
         make_outmap, coolpup.py:1007–1022)."""
         return 2 * self.pad_bins + 1
 
+    def _stage_region(self, region1, region2):
+        """Fetch + stage one region pair's device inputs (prefetchable)."""
+        if self.rescale:
+            Hmax = _next_pow2(self.max_extent_bins)
+            return self._region_device_inputs(region1, region2, minpad=Hmax + 8)
+        return self._region_device_inputs(region1, region2)
+
     def pileup_region(
         self,
         region1,
@@ -315,6 +322,7 @@ class PileUpper:
         modify_2Dintervals_func=None,
         postprocess_frame_func=None,
         extra_sum_funcs=None,
+        dev=None,
     ):
         """Accumulate all snips of one region (pair) on device; returns
         {"ROI": {group: pup}, "control": {...}} (reference
@@ -323,17 +331,15 @@ class PileUpper:
         if region2 is None:
             region2 = region1
 
+        if dev is None:
+            dev = self._stage_region(region1, region2)
         if self.rescale:
             R = self.rescale_size
             Hmax = _next_pow2(self.max_extent_bins)
             B = max(64, Hmax)
-            dev = self._region_device_inputs(
-                region1, region2, minpad=Hmax + 8
-            )
         else:
             W = self._window_bins()
             B = max(64, _next_pow2(W))
-            dev = self._region_device_inputs(region1, region2)
         shape = self.make_outmap().shape
 
         emit_expected = bool(self.expected and not self.ooe)
@@ -712,17 +718,34 @@ class PileUpper:
         else:
             modify_final = modify_2Dintervals_func
 
-        pileups = [
-            self.pileup_region(
-                r1,
-                r2,
-                groupby=groupby,
-                modify_2Dintervals_func=modify_final,
-                postprocess_frame_func=postprocess_frame_func,
-                extra_sum_funcs=extra_sum_funcs,
-            )
-            for r1, r2 in zip(regions1, regions2)
-        ]
+        # pipeline region ingest (HDF5 -> CSR -> staging) with device compute:
+        # the reference's process pool over regions (coolpup.py:1502–1508)
+        # becomes prefetch threads feeding one accelerator
+        from concurrent.futures import ThreadPoolExecutor
+
+        pairs = list(zip(regions1, regions2))
+        n_prefetch = max(1, min(4, nproc if nproc > 0 else 4))
+        pileups = []
+        with ThreadPoolExecutor(max_workers=n_prefetch) as pool:
+            futures = {}
+            for idx, (r1, r2) in enumerate(pairs[:n_prefetch]):
+                futures[idx] = pool.submit(self._stage_region, r1, r2)
+            for idx, (r1, r2) in enumerate(pairs):
+                dev = futures.pop(idx).result()
+                nxt = idx + n_prefetch
+                if nxt < len(pairs):
+                    futures[nxt] = pool.submit(self._stage_region, *pairs[nxt])
+                pileups.append(
+                    self.pileup_region(
+                        r1,
+                        r2,
+                        groupby=groupby,
+                        modify_2Dintervals_func=modify_final,
+                        postprocess_frame_func=postprocess_frame_func,
+                        extra_sum_funcs=extra_sum_funcs,
+                        dev=dev,
+                    )
+                )
 
         roi = (
             pd.DataFrame(

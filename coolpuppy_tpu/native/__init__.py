@@ -1,8 +1,83 @@
 """Optional C++ acceleration for host-side ingest (COO→tile scatter, pair
-enumeration). Falls back to numpy when the extension isn't built; build with
-`python -m coolpuppy_tpu.native.build`."""
+enumeration). Falls back to numpy when the shared library isn't built; build
+with `python -m coolpuppy_tpu.native.build`. Bound via ctypes (no pybind11
+in this environment)."""
 
-try:
-    from ._ingest_wrapper import tile_scatter  # noqa: F401
-except Exception:  # pragma: no cover
-    tile_scatter = None
+import ctypes
+import os
+
+import numpy as np
+
+_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_ingest.so")
+
+tile_scatter = None
+enumerate_pairs = None
+
+if os.path.exists(_SO):
+    try:
+        _lib = ctypes.CDLL(_SO)
+        _lib.tile_scatter.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib.enumerate_pairs.restype = ctypes.c_int64
+        _lib.enumerate_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+
+        def tile_scatter(rows, cols, vals, tile_map, B, K, nc):  # noqa: F811
+            """COO -> [K+1, B, B] f32 tile stack (see ops/tiles.py)."""
+            rows = np.ascontiguousarray(rows, np.int64)
+            cols = np.ascontiguousarray(cols, np.int64)
+            vals = np.ascontiguousarray(vals, np.float64)
+            tm = np.ascontiguousarray(tile_map, np.int32)
+            out = np.zeros((K + 1, B, B), np.float32)
+            _lib.tile_scatter(
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ctypes.c_int64(len(rows)),
+                tm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(tm.shape[1]),
+                ctypes.c_int64(B),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out
+
+        def enumerate_pairs(centers, mindist, maxdist, cap=None):  # noqa: F811
+            """All sorted-center pairs with distance in [mindist, maxdist]."""
+            centers = np.ascontiguousarray(centers, np.float64)
+            n = len(centers)
+            if cap is None:
+                cap = max(1024, n * 64)
+            while True:
+                out_i = np.empty(cap, np.int64)
+                out_j = np.empty(cap, np.int64)
+                cnt = _lib.enumerate_pairs(
+                    centers.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    ctypes.c_int64(n),
+                    ctypes.c_double(mindist),
+                    ctypes.c_double(float(maxdist)),
+                    out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    out_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    ctypes.c_int64(cap),
+                )
+                if cnt >= 0:
+                    return out_i[:cnt], out_j[:cnt]
+                cap *= 4
+
+    except Exception:  # pragma: no cover
+        tile_scatter = None
+        enumerate_pairs = None

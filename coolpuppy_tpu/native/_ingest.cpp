@@ -1,0 +1,63 @@
+// Native host-side ingest kernels for coolpuppy-tpu.
+//
+// The hot host-side loops behind the device pipeline: scattering COO pixels
+// into the block-sparse tile stack (ops/tiles.py fallback is a numpy
+// bincount chain over ~3 temporary arrays) and enumerating all-vs-all
+// feature pairs with distance filtering. Compiled to a plain shared library
+// and bound with ctypes (no pybind11 in this environment).
+//
+// Build: python -m coolpuppy_tpu.native.build
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Scatter nnz COO entries into a zeroed tile stack [K+1, B, B] (f32).
+// tile_map is the dense [tm_rows, tm_cols] grid -> stack index (0 = skip).
+void tile_scatter(const int64_t* rows, const int64_t* cols, const double* vals,
+                  int64_t nnz, const int32_t* tile_map, int64_t tm_cols,
+                  int64_t B, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nnz; i++) {
+    const int64_t tr = rows[i] / B;
+    const int64_t tc = cols[i] / B;
+    const int32_t k = tile_map[tr * tm_cols + tc];
+    if (k > 0) {
+      float* cell =
+          out + ((int64_t)k * B + (rows[i] - tr * B)) * B + (cols[i] - tc * B);
+#pragma omp atomic
+      *cell += (float)vals[i];
+    }
+  }
+}
+
+// Enumerate ordered pairs (i, j), i < j, with |center[j] - center[i]| in
+// [mindist, maxdist], assuming centers sorted ascending. Writes pair indices
+// into out_i/out_j (caller-allocated, capacity cap); returns the number of
+// pairs written, or -1 if capacity was exceeded. k-th superdiagonal sweep
+// with early exit once min distance at k exceeds maxdist (same enumeration
+// order as coords.py::_batches_cis_bed).
+int64_t enumerate_pairs(const double* centers, int64_t n, double mindist,
+                        double maxdist, int64_t* out_i, int64_t* out_j,
+                        int64_t cap) {
+  int64_t count = 0;
+  for (int64_t k = 1; k < n; k++) {
+    double dmin = 1e300;
+    for (int64_t i = 0; i + k < n; i++) {
+      const double d = centers[i + k] - centers[i];
+      if (d < dmin) dmin = d;
+      const double ad = d < 0 ? -d : d;
+      if (ad >= mindist && ad <= maxdist) {
+        if (count >= cap) return -1;
+        out_i[count] = i;
+        out_j[count] = i + k;
+        count++;
+      }
+    }
+    if (dmin > maxdist) break;
+  }
+  return count;
+}
+
+}  // extern "C"
