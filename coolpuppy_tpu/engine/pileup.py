@@ -11,8 +11,11 @@ controls or expected, coverage normalization, local symmetrization).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
+import pickle
+import re as _re
 import warnings
 from functools import reduce, partial
 
@@ -76,6 +79,8 @@ class PileUpper:
         nproc=1,
         chunk_size=32768,
         tile_size=None,
+        checkpoint_dir=None,
+        trace_dir=None,
     ):
         self.clr = clr
         self.resolution = clr.binsize
@@ -113,6 +118,9 @@ class PileUpper:
         self.nproc = nproc
         self.chunk_size = int(chunk_size)
         self.tile_size = tile_size
+        self.checkpoint_dir = checkpoint_dir
+        self.trace_dir = trace_dir
+        self._timers = None
 
         if view_df is None:
             self.view_df = make_cooler_view(clr)
@@ -309,10 +317,15 @@ class PileUpper:
 
     def _stage_region(self, region1, region2):
         """Fetch + stage one region pair's device inputs (prefetchable)."""
-        if self.rescale:
-            Hmax = _next_pow2(self.max_extent_bins)
-            return self._region_device_inputs(region1, region2, minpad=Hmax + 8)
-        return self._region_device_inputs(region1, region2)
+        timers = self._timers
+        ctx = timers.phase("ingest") if timers else contextlib.nullcontext()
+        with ctx:
+            if self.rescale:
+                Hmax = _next_pow2(self.max_extent_bins)
+                return self._region_device_inputs(
+                    region1, region2, minpad=Hmax + 8
+                )
+            return self._region_device_inputs(region1, region2)
 
     def pileup_region(
         self,
@@ -426,6 +439,17 @@ class PileUpper:
                 out[:S] = a
                 return out
 
+            timers = self._timers
+            if timers:
+                timers.count("snips", S)
+                timers.count("chunks")
+            tile_ctx = (
+                timers.phase("tiles") if timers else contextlib.nullcontext()
+            )
+            dev_ctx = (
+                timers.phase("device") if timers else contextlib.nullcontext()
+            )
+
             snipmask = np.zeros(Spad, bool)
             snipmask[:S] = True
             common_args = (
@@ -437,9 +461,10 @@ class PileUpper:
             )
             if self.rescale:
                 block = min(64, Spad)
-                tile_stack = build_tile_stack(
-                    dev["coo"], B, r1=r1, r2=r2, window1=h1, window2=w2
-                )
+                with tile_ctx:
+                    tile_stack = build_tile_stack(
+                        dev["coo"], B, r1=r1, r2=r2, window1=h1, window2=w2
+                    )
                 cfg = RescaleConfig(
                     R=R,
                     Hmax=Hmax,
@@ -457,6 +482,7 @@ class PileUpper:
                     large_g=large_g,
                 )
                 step = make_rescale_step(cfg)
+                dev_ctx.__enter__()
                 out = step(
                     tile_stack.tiles,
                     tile_stack.tile_map.ravel(),
@@ -472,9 +498,10 @@ class PileUpper:
                 )
             else:
                 block = min(512, Spad)
-                tile_stack = build_tile_stack(
-                    dev["coo"], B, r1=r1, r2=r2, window1=W, window2=W
-                )
+                with tile_ctx:
+                    tile_stack = build_tile_stack(
+                        dev["coo"], B, r1=r1, r2=r2, window1=W, window2=W
+                    )
                 cfg = GatherConfig(
                     W=W,
                     B=B,
@@ -490,6 +517,7 @@ class PileUpper:
                     large_g=large_g,
                 )
                 step = make_pileup_step(cfg)
+                dev_ctx.__enter__()
                 out = step(
                     tile_stack.tiles,
                     tile_stack.tile_map.ravel(),
@@ -502,6 +530,7 @@ class PileUpper:
                     snipmask,
                 )
             out = {k: np.asarray(v, np.float64) for k, v in out.items()}
+            dev_ctx.__exit__(None, None, None)
             out = merge_flip_banks(out, Chalf)
 
             for k in out:
@@ -723,10 +752,45 @@ class PileUpper:
         # becomes prefetch threads feeding one accelerator
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..observability import PhaseTimers, device_trace
+
+        self._timers = timers = PhaseTimers()
+
+        def _ckpt_path(r1, r2):
+            safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", f"{r1}__{r2}")
+            return os.path.join(self.checkpoint_dir, safe + ".pkl")
+
+        def _run_one(r1, r2, dev):
+            # per-region-pair accumulator checkpointing: the natural resume
+            # unit of the decomposition (SURVEY §5)
+            if self.checkpoint_dir:
+                path = _ckpt_path(r1, r2)
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        return pickle.load(f)
+            out = self.pileup_region(
+                r1,
+                r2,
+                groupby=groupby,
+                modify_2Dintervals_func=modify_final,
+                postprocess_frame_func=postprocess_frame_func,
+                extra_sum_funcs=extra_sum_funcs,
+                dev=dev,
+            )
+            if self.checkpoint_dir:
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                tmp = _ckpt_path(r1, r2) + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(out, f)
+                os.replace(tmp, _ckpt_path(r1, r2))
+            return out
+
         pairs = list(zip(regions1, regions2))
         n_prefetch = max(1, min(4, nproc if nproc > 0 else 4))
         pileups = []
-        with ThreadPoolExecutor(max_workers=n_prefetch) as pool:
+        with device_trace(self.trace_dir), ThreadPoolExecutor(
+            max_workers=n_prefetch
+        ) as pool:
             futures = {}
             for idx, (r1, r2) in enumerate(pairs[:n_prefetch]):
                 futures[idx] = pool.submit(self._stage_region, r1, r2)
@@ -735,17 +799,8 @@ class PileUpper:
                 nxt = idx + n_prefetch
                 if nxt < len(pairs):
                     futures[nxt] = pool.submit(self._stage_region, *pairs[nxt])
-                pileups.append(
-                    self.pileup_region(
-                        r1,
-                        r2,
-                        groupby=groupby,
-                        modify_2Dintervals_func=modify_final,
-                        postprocess_frame_func=postprocess_frame_func,
-                        extra_sum_funcs=extra_sum_funcs,
-                        dev=dev,
-                    )
-                )
+                pileups.append(_run_one(r1, r2, dev))
+        timers.log_summary()
 
         roi = (
             pd.DataFrame(

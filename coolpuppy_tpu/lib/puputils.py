@@ -175,6 +175,11 @@ def group_by_region_frame(frame):
     return pd.concat([f1, f2]).reset_index(drop=True)
 
 
+# per-snip-dict name from the reference API (lib/puputils.py:218–223);
+# the engine's frame-level hook is group_by_region_frame
+group_by_region = group_by_region_frame
+
+
 def accumulate_values(dict1, dict2, key):
     """extra_sum_funcs helper (reference lib/puputils.py:244–253)."""
     assert key in dict2, f"{key} not in dict2"
