@@ -81,6 +81,7 @@ class PileUpper:
         tile_size=None,
         checkpoint_dir=None,
         trace_dir=None,
+        backend="auto",
     ):
         self.clr = clr
         self.resolution = clr.binsize
@@ -120,6 +121,7 @@ class PileUpper:
         self.tile_size = tile_size
         self.checkpoint_dir = checkpoint_dir
         self.trace_dir = trace_dir
+        self.backend = backend
         self._timers = None
 
         if view_df is None:
@@ -315,6 +317,26 @@ class PileUpper:
         make_outmap, coolpup.py:1007–1022)."""
         return 2 * self.pad_bins + 1
 
+    def _use_pallas(self, dev, emit_expected, coverage, large_g, W):
+        """Route the hot path through the Pallas quad kernel when supported:
+        TPU backend, plain accumulation (no expected-emission / coverage /
+        stripes), moderate group count, window fits a tile, and any expected
+        is a cis vector (trans scalar expected stays on the XLA path)."""
+        if self.backend == "xla":
+            return False
+        if emit_expected or coverage or large_g or self.store_stripes:
+            return False
+        if W > 120:  # pallas superwindow headroom limit
+            return False
+        if self.expected and not dev["cis"]:
+            return False
+        if self.backend == "pallas":
+            return True
+        import jax
+
+        platform = jax.devices()[0].platform
+        return platform == "tpu" or "axon" in platform.lower()
+
     def _stage_region(self, region1, region2):
         """Fetch + stage one region pair's device inputs (prefetchable)."""
         timers = self._timers
@@ -495,6 +517,32 @@ class PileUpper:
                     pad(dd0),
                     pad(cid),
                     snipmask,
+                )
+            elif self._use_pallas(dev, emit_expected, coverage, large_g, W):
+                from ..ops.pallas_gather import PALLAS_B, run_pallas_pileup
+
+                with tile_ctx:
+                    tile_stack = build_tile_stack(
+                        dev["coo"], PALLAS_B, r1=r1, r2=r2, window1=W,
+                        window2=W,
+                    )
+                dev_ctx.__enter__()
+                out = run_pallas_pileup(
+                    tile_stack,
+                    r1,
+                    r2,
+                    dd0,
+                    cid,
+                    dev["valid1"],
+                    dev["valid2"],
+                    dev["evec"],
+                    dict(
+                        W=W,
+                        capacity=C,
+                        cis=dev["cis"],
+                        ignore_diags=int(self.ignore_diags),
+                        ooe=bool(use_expected and self.ooe),
+                    ),
                 )
             else:
                 block = min(512, Spad)

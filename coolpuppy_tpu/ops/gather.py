@@ -92,8 +92,13 @@ def _segment_add(acc, cid, planes, cfg):
         cid[None, :] == jnp.arange(cfg.capacity, dtype=cid.dtype)[:, None]
     ).astype(jnp.float32)
     flat = planes.reshape(planes.shape[0], -1)
+    # HIGHEST: the MXU's default f32 path loses ~1e-3 relative accuracy
+    # (bf16 passes), visible against the pallas kernel's exact f32 adds
     return acc + jnp.dot(
-        onehot, flat, preferred_element_type=jnp.float32
+        onehot,
+        flat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(acc.shape)
 
 

@@ -54,7 +54,8 @@ class PallasGatherConfig:
     B: int = PALLAS_B
 
     def __post_init__(self):
-        assert self.W <= self.B
+        # W + alignment headroom must fit the superwindow rows
+        assert self.W <= self.B - 8
 
 
 def prep_quads(r1, r2, tile_map, B):
@@ -139,16 +140,12 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
             # slices below are provably 8-aligned
             base1 = pl.multiple_of(qb1[q], B)
             base2 = pl.multiple_of(qb2[q], B)
-            # quad bad-bin mask plane: outer(v1, v2) without a transpose —
-            # contract the singleton dims on the MXU
+            # quad bad-bin mask plane: broadcast outer product (NOTE: the
+            # rank-1 dot_general formulation miscompiles on hardware;
+            # column->row transposes and broadcast multiplies are verified)
             v1seg = valid1_ref[pl.ds(base1, 2 * B), 0:1]  # [2B, 1]
             v2seg = valid2_ref[pl.ds(base2, 2 * B), 0:1]  # [2B, 1]
-            msup[...] = jax.lax.dot_general(
-                v1seg,
-                v2seg,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            msup[...] = v1seg * v2seg.T
             if cfg.ooe:
                 # per-quad expected plane: esup[x, y] = evec2[dq + x - y]
                 # (dq = quad-origin diagonal in folded coords). Build the
@@ -159,22 +156,13 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                 fbase = dq - (2 * B - 1)
                 fb_al = pl.multiple_of((fbase // 8) * 8, 8)
                 f_off = fbase - fb_al
-                f = evec2_ref[pl.ds(fb_al, 4 * B + 8), 0:1]  # [4B+8, 1]
+                # pow2 over-slice (see WA note): 8B rows covers 4B + align
+                f = evec2_ref[pl.ds(fb_al, 8 * B), 0:1]  # [8B, 1]
                 f = pltpu.roll(f, -f_off, 0)[0 : 4 * B, :]
-                # NaN (missing expected) would poison the transpose matmul;
+                # NaN (missing expected) would poison the plane algebra;
                 # ride through as a negative sentinel, restored at the cut
                 f = jnp.where(jnp.isfinite(f), f, -1.0)
-                # f column -> row via MXU (contract with identity)
-                eye = (
-                    jax.lax.broadcasted_iota(jnp.int32, (4 * B, 4 * B), 0)
-                    == jax.lax.broadcasted_iota(jnp.int32, (4 * B, 4 * B), 1)
-                ).astype(jnp.float32)
-                f_row = jax.lax.dot_general(
-                    f, eye,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [1, 4B]
-                fb = jnp.broadcast_to(f_row, (2 * B, 4 * B))
+                fb = jnp.broadcast_to(f.T, (2 * B, 4 * B))
                 # planeT[y, x] = f[(x - (2B+1) - y) mod 4B] = f[x - y + 2B-1]
                 planeT = pltpu.roll(
                     fb, 2 * B + 1, 1, stride=1, stride_axis=0
@@ -185,8 +173,10 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                 c.wait()
 
             # sublane dynamic offsets must be 8-aligned: load an aligned
-            # over-slice and rotate into place
-            WA = ((W + 8 + 7) // 8) * 8
+            # over-slice and rotate into place. NOTE: dynamic sublane rolls
+            # require power-of-two row counts on hardware (non-pow2 sizes
+            # rotate into the tile padding) — hence next_pow2, not round8.
+            WA = 1 << int(np.ceil(np.log2(W + 8)))
 
             def body(j, _):
                 s = qstart[q] + j
@@ -304,7 +294,9 @@ def run_pallas_pileup(
     cfg = PallasGatherConfig(Q=Q, **cfg_kw)
     step = make_pallas_pileup_step(cfg)
 
-    npad = 1 << int(np.ceil(np.log2(max(len(valid1), len(valid2)) + 4 * B)))
+    # margin: quad valid slices need +2B, the expected row slice reads 8B
+    # past fbase (pow2 over-slice), keep headroom for both
+    npad = 1 << int(np.ceil(np.log2(max(len(valid1), len(valid2)) + 12 * B)))
     v1 = np.zeros((npad, 1), np.float32)
     v1[: len(valid1), 0] = valid1
     v2 = np.zeros((npad, 1), np.float32)
