@@ -118,6 +118,42 @@ def bench_tpu(csr, coo, r1, r2, gid, flip, valid, evec, W, chunk, repeats=3):
     return snips / (best + stage_time), best + stage_time, compile_time, snips
 
 
+def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=3):
+    """Quad-sorted Pallas kernel path (ops/pallas_gather.py)."""
+    import jax
+    from coolpuppy_tpu.ops.pallas_gather import PALLAS_B, run_pallas_pileup
+    from coolpuppy_tpu.ops.tiles import build_tile_stack
+
+    n_loci = len(r1)
+    S = chunk
+    n_chunks = n_loci // S
+    t0 = time.time()
+    ts = build_tile_stack(coo, PALLAS_B, r1=r1, r2=r2, window1=W, window2=W)
+    stage_time = time.time() - t0
+    n_bins = coo.shape[0]
+    cfg_kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True)
+
+    def run_all():
+        for c in range(n_chunks):
+            sl = slice(c * S, (c + 1) * S)
+            out = run_pallas_pileup(
+                ts, r1[sl], r2[sl], (r1[sl] - r2[sl]).astype(np.int32),
+                gid[sl], valid, valid, evec[:n_bins], cfg_kw,
+            )
+        return out
+
+    t0 = time.time()
+    run_all()
+    compile_time = time.time() - t0
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        run_all()
+        best = min(best, time.time() - t0)
+    snips = n_chunks * S
+    return snips / (best + stage_time), best + stage_time, compile_time, snips
+
+
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
     """The reference's per-snip hot loop (coolpup.py:1104–1191): CSR slice ->
     dense, NaN bad rows/cols, diag mask, ooe divide, nansum-accumulate."""
@@ -149,17 +185,30 @@ def main():
     ap.add_argument("--chunk", type=int, default=65_536)
     ap.add_argument("--ref-snips", type=int, default=20_000)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--backend", choices=["xla", "pallas"], default="pallas"
+    )
     args = ap.parse_args()
     if args.quick:
         args.loci, args.chunk, args.ref_snips = 131_072, 32_768, 2_000
+
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     W = 21
     csr, coo, r1, r2, gid, flip, valid, evec = make_workload(
         n_loci=args.loci, W=W
     )
-    tpu_rate, best, compile_time, snips = bench_tpu(
-        csr, coo, r1, r2, gid, flip, valid, evec, W, args.chunk
-    )
+    if args.backend == "pallas":
+        tpu_rate, best, compile_time, snips = bench_pallas(
+            coo, r1, r2, gid, valid, evec, W, args.chunk
+        )
+    else:
+        tpu_rate, best, compile_time, snips = bench_tpu(
+            csr, coo, r1, r2, gid, flip, valid, evec, W, args.chunk
+        )
     ref_rate = bench_reference_loop(
         csr, r1, r2, valid, evec, W, n=args.ref_snips
     )
@@ -173,6 +222,7 @@ def main():
                 "unit": "snips/s",
                 "vs_baseline": round(tpu_rate / ref_rate, 2),
                 "detail": {
+                    "backend": args.backend,
                     "device": str(jax.devices()[0]),
                     "loci": snips,
                     "window": W,

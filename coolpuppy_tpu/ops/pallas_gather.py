@@ -98,21 +98,18 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
     E = 2 * W - 1  # toeplitz span per snip
 
     def kernel(
-        k00, k01, k10, k11, qb1, qb2, qstart, qcount, o1, o2, dd0, cid, n0ref,
+        k00, k01, k10, k11, qb1, qb2, qdd0, qstart, qcount, o1, o2, cid,
+        n0ref,
         tiles_ref, valid1_ref, valid2_ref, evec2_ref,
-        sum_ref, num_ref, pois_ref,
-        sup, msup, esup, sems,
+        sum_ref, num_ref,
+        sup, msup, sems,
     ):
         q = pl.program_id(0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-        dij = ii - jj
 
         @pl.when(q == 0)
         def _():
             sum_ref[...] = jnp.zeros_like(sum_ref)
             num_ref[...] = jnp.zeros_like(num_ref)
-            pois_ref[...] = jnp.zeros_like(pois_ref)
 
         cnt = qcount[q]
 
@@ -145,14 +142,23 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
             # column->row transposes and broadcast multiplies are verified)
             v1seg = valid1_ref[pl.ds(base1, 2 * B), 0:1]  # [2B, 1]
             v2seg = valid2_ref[pl.ds(base2, 2 * B), 0:1]  # [2B, 1]
-            msup[...] = v1seg * v2seg.T
+            mask_plane = v1seg * v2seg.T
+            if cfg.cis and cfg.ignore_diags > 0:
+                # diagonal index of plane cell (x, y) is qdd0 + x - y
+                xx = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 0)
+                yy = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 1)
+                absd = jnp.abs(qdd0[q] + xx - yy)
+                mask_plane = mask_plane * (
+                    absd >= cfg.ignore_diags
+                ).astype(jnp.float32)
+
             if cfg.ooe:
                 # per-quad expected plane: esup[x, y] = evec2[dq + x - y]
                 # (dq = quad-origin diagonal in folded coords). Build the
                 # transposed staircase with a lane roll whose shift strides
                 # along sublanes (Mosaic only strides non-minor axes), then
                 # transpose once per quad.
-                dq = n0ref[0] + qb1[q] - qb2[q]
+                dq = n0ref[0] + qdd0[q]
                 fbase = dq - (2 * B - 1)
                 fb_al = pl.multiple_of((fbase // 8) * 8, 8)
                 f_off = fbase - fb_al
@@ -160,17 +166,35 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                 f = evec2_ref[pl.ds(fb_al, 8 * B), 0:1]  # [8B, 1]
                 f = pltpu.roll(f, -f_off, 0)[0 : 4 * B, :]
                 # NaN (missing expected) would poison the plane algebra;
-                # ride through as a negative sentinel, restored at the cut
+                # ride through as a negative sentinel, restored below
                 f = jnp.where(jnp.isfinite(f), f, -1.0)
                 fb = jnp.broadcast_to(f.T, (2 * B, 4 * B))
                 # planeT[y, x] = f[(x - (2B+1) - y) mod 4B] = f[x - y + 2B-1]
                 planeT = pltpu.roll(
                     fb, 2 * B + 1, 1, stride=1, stride_axis=0
                 )[:, 0 : 2 * B]
-                esup[...] = planeT.T
+                ew_plane = planeT.T
+                ew_plane = jnp.where(ew_plane >= 0.0, ew_plane, jnp.nan)
 
             for c in copies:
                 c.wait()
+
+            # pre-normalize the whole superwindow ONCE per quad: per-snip
+            # work then reduces to two window cuts + two accumulates.
+            # Poison (ooe division by an expected of 0) is folded into the
+            # contribution plane as +inf, exactly like the reference's sums
+            # (coolpup.py:1154–1156); the host recovers it as isinf(sum).
+            if cfg.ooe:
+                val_plane = sup[...] / ew_plane
+                fin = jnp.isfinite(val_plane)
+                num_plane = fin.astype(jnp.float32) * mask_plane
+                keep = jnp.where(jnp.isnan(val_plane), 0.0, val_plane)
+                contrib_plane = jnp.where(mask_plane > 0, keep, 0.0)
+            else:
+                num_plane = mask_plane
+                contrib_plane = sup[...] * mask_plane
+            sup[...] = contrib_plane
+            msup[...] = num_plane
 
             # sublane dynamic offsets must be 8-aligned: load an aligned
             # over-slice and rotate into place. NOTE: dynamic sublane rolls
@@ -178,12 +202,13 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
             # rotate into the tile padding) — hence next_pow2, not round8.
             WA = 1 << int(np.ceil(np.log2(W + 8)))
 
-            def body(j, _):
+            U = 8  # manual unroll (dynamic trip count forbids lax unroll)
+
+            def one_snip(j):
                 s = qstart[q] + j
                 a = o1[s]
                 b = o2[s]
                 g = cid[s]
-                d0 = dd0[s]
 
                 a_al = pl.multiple_of((a // 8) * 8, 8)
                 a_off = a - a_al
@@ -193,33 +218,20 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                     rows = pltpu.roll(rows, -a_off, 0)
                     return pltpu.roll(rows, -b, 1)[0:W, 0:W]
 
-                win = cut(sup)
-                mask = cut(msup)
+                sum_ref[g] = sum_ref[g] + cut(sup)
+                num_ref[g] = num_ref[g] + cut(msup)
 
-                if cfg.cis and cfg.ignore_diags > 0:
-                    absd = jnp.abs(d0 + dij)
-                    mask = mask * (absd >= cfg.ignore_diags).astype(
-                        jnp.float32
-                    )
+            def body(blk, _):
+                for u in range(U):
+                    j = blk * U + u
 
-                if cfg.ooe:
-                    ew = cut(esup)
-                    ew = jnp.where(ew >= 0.0, ew, jnp.nan)
-                    val = win / ew
-                else:
-                    val = win
+                    @pl.when(j < cnt)
+                    def _(j=j):
+                        one_snip(j)
 
-                finite = jnp.isfinite(val)
-                contrib = jnp.where(finite, val, 0.0) * mask
-                numplane = finite.astype(jnp.float32) * mask
-                poisplane = jnp.isinf(val).astype(jnp.float32) * mask
-
-                sum_ref[g] = sum_ref[g] + contrib
-                num_ref[g] = num_ref[g] + numplane
-                pois_ref[g] = pois_ref[g] + poisplane
                 return 0
 
-            jax.lax.fori_loop(0, cnt, body, 0)
+            jax.lax.fori_loop(0, (cnt + U - 1) // U, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=13,
@@ -235,13 +247,10 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # sup
             pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # msup
-            pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # esup
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -252,19 +261,18 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         out_shape=[
             jax.ShapeDtypeStruct((C, W, W), jnp.float32),
             jax.ShapeDtypeStruct((C, W, W), jnp.float32),
-            jax.ShapeDtypeStruct((C, W, W), jnp.float32),
         ],
         interpret=cfg.interpret,
     )
 
     @jax.jit
-    def step(k00, k01, k10, k11, qb1, qb2, qstart, qcount,
-             o1, o2, dd0, cid, n0, tiles, valid1, valid2, evec2):
-        s, n, p = call(
-            k00, k01, k10, k11, qb1, qb2, qstart, qcount, o1, o2, dd0, cid,
+    def step(k00, k01, k10, k11, qb1, qb2, qdd0, qstart, qcount,
+             o1, o2, cid, n0, tiles, valid1, valid2, evec2):
+        s, n = call(
+            k00, k01, k10, k11, qb1, qb2, qdd0, qstart, qcount, o1, o2, cid,
             n0, tiles, valid1, valid2, evec2,
         )
-        return {"sum": s, "num": n, "poison": p}
+        return {"sum": s, "num": n}
 
     return step
 
@@ -305,11 +313,23 @@ def run_pallas_pileup(
 
     o1 = (r1[order] % B).astype(np.int32)
     o2 = (r2[order] % B).astype(np.int32)
+    dd0s = dd0[order].astype(np.int64)
+    # per-quad diagonal offset: dd0 - o1 + o2 is constant within a quad
+    st = quads["qstart"]
+    nq_real = nq
+    qdd0 = np.zeros_like(quads["qstart"])
+    qdd0[:nq_real] = (
+        dd0s[st[:nq_real]] - o1[st[:nq_real]] + o2[st[:nq_real]]
+    ).astype(np.int32)
     out = step(
         quads["k00"], quads["k01"], quads["k10"], quads["k11"],
-        quads["qb1"], quads["qb2"], quads["qstart"], quads["qcount"],
-        o1, o2, dd0[order].astype(np.int32), cid[order].astype(np.int32),
+        quads["qb1"], quads["qb2"], qdd0, quads["qstart"], quads["qcount"],
+        o1, o2, cid[order].astype(np.int32),
         np.array([npad], np.int32),
         tile_stack.tiles, v1, v2, evec2,
     )
-    return {k: np.asarray(v) for k, v in out.items()}
+    out = {k: np.asarray(v) for k, v in out.items()}
+    # poison rides in the sums as +inf (like the reference's accumulators);
+    # expose it as the explicit plane the engine expects
+    out["poison"] = np.isinf(out["sum"]).astype(np.float32)
+    return out

@@ -47,7 +47,17 @@ def test_pallas_matches_xla(ooe):
         evec, valid, valid, np.zeros(8, np.float32), np.zeros(8, np.float32),
         r1, r2, dd0, cid, np.ones(S, bool),
     )
-    for k in ("sum", "num", "poison"):
-        np.testing.assert_allclose(
-            got[k], np.asarray(want[k]), rtol=1e-5, atol=1e-5
-        )
+    # pallas folds poison into the sums as +inf (reference-style) and
+    # reports a 0/1 indicator; the XLA step zeroes infs and counts events.
+    # Downstream both produce NaN at poisoned pixels, so compare there only
+    # on the poison set.
+    pois = np.asarray(want["poison"]) > 0
+    np.testing.assert_array_equal(got["poison"] > 0, pois)
+    np.testing.assert_allclose(
+        got["sum"][~pois], np.asarray(want["sum"])[~pois],
+        rtol=1e-5, atol=1e-5,
+    )
+    assert np.all(np.isinf(got["sum"][pois]))
+    np.testing.assert_allclose(
+        got["num"], np.asarray(want["num"]), rtol=1e-5, atol=1e-5
+    )

@@ -1,0 +1,84 @@
+"""Property tests (SURVEY §4): linearity of accumulation — the pileup of a
+feature union equals the num-weighted merge of the parts — plus golden-output
+regression on a fixed-seed workload."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coolpuppy_tpu import pileup
+
+from fixtures import make_toy_cooler, toy_features, toy_regions
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cool") / "toy.cool"
+    return make_toy_cooler(str(path), seed=123)
+
+
+def _all_row(pup):
+    row = pup[pup["group"] == "all"].iloc[0]
+    return row["data"], row["num"], int(row["n"])
+
+
+def test_pileup_linearity(toy):
+    """pileup(A ∪ B) == merge(pileup(A), pileup(B)) via sum_pups algebra."""
+    clr, dense, weights = toy
+    feats = toy_features()
+    fa = feats[feats["chrom"] == "chr1"]
+    fb = feats[feats["chrom"] == "chr2"]
+    kw = dict(
+        features_format="bed",
+        view_df=toy_regions(),
+        mindist=0,
+        flank=2_000_000,
+    )
+    da, numa, na = _all_row(pileup(clr, fa, **kw))
+    db, numb, nb = _all_row(pileup(clr, fb, **kw))
+    dab, numab, nab = _all_row(pileup(clr, feats, **kw))
+    assert nab == na + nb
+    np.testing.assert_allclose(numab, numa + numb)
+    with np.errstate(invalid="ignore"):
+        want = (np.nan_to_num(da * numa) + np.nan_to_num(db * numb)) / (
+            numa + numb
+        )
+    np.testing.assert_allclose(dab, want, rtol=1e-5, atol=1e-9, equal_nan=True)
+
+
+def test_golden_regression(toy):
+    """Fixed-seed workload against a stored golden matrix — guards the whole
+    pipeline (cool IO -> coords -> device kernels -> normalization) across
+    refactors. Regenerate intentionally with REGEN_GOLDEN=1."""
+    clr, dense, weights = toy
+    pup = pileup(
+        clr,
+        toy_features(),
+        features_format="bed",
+        view_df=toy_regions(),
+        mindist=0,
+        flank=2_000_000,
+        nshifts=2,
+        seed=7,
+        by_strand=True,
+    )
+    got = {
+        f"data_{o}": d
+        for o, d in zip(pup["orientation"], pup["data"])
+    }
+    got["n"] = pup.sort_values("orientation")["n"].values.astype(np.int64)
+    path = os.path.join(GOLDEN, "bystrand_controls.npz")
+    if os.environ.get("REGEN_GOLDEN") or not os.path.exists(path):
+        os.makedirs(GOLDEN, exist_ok=True)
+        np.savez(path, **got)
+        pytest.skip("golden regenerated")
+    want = np.load(path)
+    for k in want.files:
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=1e-5, atol=1e-8, equal_nan=True,
+            err_msg=k,
+        )
