@@ -121,7 +121,10 @@ def bench_tpu(csr, coo, r1, r2, gid, flip, valid, evec, W, chunk, repeats=3):
 def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=3):
     """Quad-sorted Pallas kernel path (ops/pallas_gather.py)."""
     import jax
-    from coolpuppy_tpu.ops.pallas_gather import PALLAS_B, run_pallas_pileup
+    from coolpuppy_tpu.ops.pallas_gather import (
+        PALLAS_B,
+        PallasPileupSession,
+    )
     from coolpuppy_tpu.ops.tiles import build_tile_stack
 
     n_loci = len(r1)
@@ -129,16 +132,16 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=3):
     n_chunks = n_loci // S
     t0 = time.time()
     ts = build_tile_stack(coo, PALLAS_B, r1=r1, r2=r2, window1=W, window2=W)
-    stage_time = time.time() - t0
     n_bins = coo.shape[0]
     cfg_kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True)
+    session = PallasPileupSession(ts, valid, valid, evec[:n_bins], cfg_kw)
+    stage_time = time.time() - t0
 
     def run_all():
         for c in range(n_chunks):
             sl = slice(c * S, (c + 1) * S)
-            out = run_pallas_pileup(
-                ts, r1[sl], r2[sl], (r1[sl] - r2[sl]).astype(np.int32),
-                gid[sl], valid, valid, evec[:n_bins], cfg_kw,
+            out = session.run(
+                r1[sl], r2[sl], (r1[sl] - r2[sl]).astype(np.int32), gid[sl]
             )
         return out
 

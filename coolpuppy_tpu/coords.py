@@ -405,6 +405,17 @@ class CoordCreator:
             & (iv["start1"] >= start2)
             & (iv["end1"] < end2)
         ].reset_index(drop=True)
+        # swap sides of reversed rows so side 1 is always region1-frame
+        # (the reference concatenates without swapping, coolpup.py:565–587,
+        # which mis-rebases reversed bedpe trans pairs — fixed here)
+        if len(rev):
+            cols = set(rev.columns)
+            mapping = {}
+            for c in cols:
+                if c.endswith("1") and (c[:-1] + "2") in cols:
+                    mapping[c] = c[:-1] + "2"
+                    mapping[c[:-1] + "2"] = c
+            rev = rev.rename(columns=mapping)
         return pd.concat([fwd, rev]).reset_index(drop=True)
 
     # -- batch generation (replaces pos_stream, reference coolpup.py:598–749)

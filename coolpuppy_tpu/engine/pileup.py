@@ -361,7 +361,13 @@ class PileUpper:
     ):
         """Accumulate all snips of one region (pair) on device; returns
         {"ROI": {group: pup}, "control": {...}} (reference
-        coolpup.py:1285–1358)."""
+        coolpup.py:1285-1358).
+
+        Two phases: (1) host streams vectorized snip frames into flat index
+        arrays (bounds-checked, group ids factorized); (2) one block-sparse
+        tile stack is built for the whole region and staged on device once,
+        then fixed-size sub-chunks run through the fused kernel (Pallas quad
+        kernel on TPU, fused XLA step elsewhere)."""
         groupby = groupby or []
         if region2 is None:
             region2 = region1
@@ -382,21 +388,21 @@ class PileUpper:
         coverage = bool(self.coverage_norm)
 
         cid_of = {}
-        groups_meta = []  # (kind, group) per cid
-        acc = {}
-        n_counts = {}
-        stripes = {}
 
         def ensure_cid(kind, group):
             key = (kind, group)
             if key not in cid_of:
                 cid_of[key] = len(cid_of)
-                groups_meta.append(key)
             return cid_of[key]
 
         region1_coords = tuple(self.view_df.loc[region1])
         region2_coords = tuple(self.view_df.loc[region2])
 
+        timers = self._timers
+
+        # -- phase 1: host coordinate collection -----------------------
+        cols = {k: [] for k in ("r1", "r2", "dd0", "cidl", "flip", "h1", "w2")}
+        coord_strs = []
         for chunk in self.CC.batches(
             region1_coords,
             region2_coords if region2 != region1 else None,
@@ -427,205 +433,128 @@ class PileUpper:
                     "inconsistent window size; flank must be a multiple of "
                     "the resolution"
                 )
-            r1 = (chunk["stBin1"].values - dev["min1"]).astype(np.int32)
-            r2 = (chunk["stBin2"].values - dev["min2"]).astype(np.int32)
-            dd0 = (
-                chunk["stBin1"].values - chunk["stBin2"].values
-            ).astype(np.int32)
-
-            if "flip" in chunk.columns:
-                flip = chunk["flip"].values.astype(bool)
-            else:
-                flip = np.zeros(len(chunk), bool)
-
-            kinds = chunk["kind"].values
-            groups = chunk["group"].values
-            cid = np.fromiter(
-                (ensure_cid(k, g) for k, g in zip(kinds, groups)),
-                count=len(chunk),
-                dtype=np.int32,
+            cols["r1"].append(
+                (chunk["stBin1"].values - dev["min1"]).astype(np.int32)
             )
+            cols["r2"].append(
+                (chunk["stBin2"].values - dev["min2"]).astype(np.int32)
+            )
+            cols["dd0"].append(
+                (chunk["stBin1"].values - chunk["stBin2"].values).astype(
+                    np.int32
+                )
+            )
+            if "flip" in chunk.columns:
+                cols["flip"].append(chunk["flip"].values.astype(bool))
+            else:
+                cols["flip"].append(np.zeros(len(chunk), bool))
+            cols["cidl"].append(
+                np.fromiter(
+                    (
+                        ensure_cid(k, g)
+                        for k, g in zip(
+                            chunk["kind"].values, chunk["group"].values
+                        )
+                    ),
+                    count=len(chunk),
+                    dtype=np.int32,
+                )
+            )
+            cols["h1"].append(h1)
+            cols["w2"].append(w2)
+            if self.store_stripes:
+                coord_strs.extend(
+                    ".".join(str(v) for v in row)
+                    for row in zip(
+                        chunk["chrom1"],
+                        chunk["start1"],
+                        chunk["end1"],
+                        chunk["chrom2"],
+                        chunk["start2"],
+                        chunk["end2"],
+                    )
+                )
 
-            S = len(chunk)
-            Spad = max(64 if self.rescale else 256, _next_pow2(S))
-            # flipped snips accumulate into a second bank of slots and get
-            # anti-transposed once per group afterwards (merge_flip_banks)
+        ntot = sum(len(a) for a in cols["r1"])
+        acc = {}
+        n_counts = {}
+        stripes = {}
+
+        if ntot > 0:
+            arr = {k: np.concatenate(v) for k, v in cols.items()}
+            if timers:
+                timers.count("snips", ntot)
+
             Chalf = max(4, _next_pow2(len(cid_of)))
             C = 2 * Chalf
-            cid_logical = cid
-            cid = (cid + Chalf * flip).astype(np.int32)
+            cid_dev = (arr["cidl"] + Chalf * arr["flip"]).astype(np.int32)
             large_g = len(cid_of) > 512
 
-            def pad(a, fill=0):
-                out = np.full(Spad, fill, a.dtype)
-                out[:S] = a
-                return out
+            counts = np.bincount(arr["cidl"], minlength=len(cid_of))
+            for i, c in enumerate(counts):
+                n_counts[i] = int(c)
 
-            timers = self._timers
-            if timers:
-                timers.count("snips", S)
-                timers.count("chunks")
+            # -- phase 2: one tile stack, device-resident sub-chunk loop
             tile_ctx = (
                 timers.phase("tiles") if timers else contextlib.nullcontext()
             )
             dev_ctx = (
                 timers.phase("device") if timers else contextlib.nullcontext()
             )
-
-            snipmask = np.zeros(Spad, bool)
-            snipmask[:S] = True
-            common_args = (
-                dev["evec"],
-                dev["valid1"],
-                dev["valid2"],
-                dev["cov1"],
-                dev["cov2"],
+            use_pallas = (not self.rescale) and self._use_pallas(
+                dev, emit_expected, coverage, large_g, W
             )
+
+            with tile_ctx:
+                from ..ops.pallas_gather import PALLAS_B
+
+                tile_B = PALLAS_B if use_pallas else B
+                tile_stack = build_tile_stack(
+                    dev["coo"],
+                    tile_B,
+                    r1=arr["r1"],
+                    r2=arr["r2"],
+                    window1=W if not self.rescale else arr["h1"],
+                    window2=W if not self.rescale else arr["w2"],
+                )
+
+            S_sub = min(65536, max(256, _next_pow2(ntot)))
             if self.rescale:
-                block = min(64, Spad)
-                with tile_ctx:
-                    tile_stack = build_tile_stack(
-                        dev["coo"], B, r1=r1, r2=r2, window1=h1, window2=w2
-                    )
-                cfg = RescaleConfig(
-                    R=R,
-                    Hmax=Hmax,
-                    B=B,
-                    S=Spad,
-                    block=block,
-                    capacity=C,
-                    cis=dev["cis"],
-                    ignore_diags=int(self.ignore_diags),
-                    ooe=bool(use_expected and self.ooe),
-                    emit_expected=emit_expected,
-                    coverage=coverage,
-                    stripes=bool(self.store_stripes),
-                    local=bool(self.local),
-                    large_g=large_g,
-                )
-                step = make_rescale_step(cfg)
-                dev_ctx.__enter__()
-                out = step(
-                    tile_stack.tiles,
-                    tile_stack.tile_map.ravel(),
-                    np.int32(tile_stack.tile_map.shape[1]),
-                    *common_args,
-                    pad(r1),
-                    pad(r2),
-                    pad(h1, 1),
-                    pad(w2, 1),
-                    pad(dd0),
-                    pad(cid),
-                    snipmask,
-                )
-            elif self._use_pallas(dev, emit_expected, coverage, large_g, W):
-                from ..ops.pallas_gather import PALLAS_B, run_pallas_pileup
+                S_sub = min(4096, max(64, _next_pow2(ntot)))
 
-                with tile_ctx:
-                    tile_stack = build_tile_stack(
-                        dev["coo"], PALLAS_B, r1=r1, r2=r2, window1=W,
-                        window2=W,
-                    )
-                dev_ctx.__enter__()
-                out = run_pallas_pileup(
+            with dev_ctx:
+                out_total = self._device_accumulate(
                     tile_stack,
-                    r1,
-                    r2,
-                    dd0,
-                    cid,
-                    dev["valid1"],
-                    dev["valid2"],
-                    dev["evec"],
-                    dict(
-                        W=W,
-                        capacity=C,
-                        cis=dev["cis"],
-                        ignore_diags=int(self.ignore_diags),
-                        ooe=bool(use_expected and self.ooe),
-                    ),
+                    dev,
+                    arr,
+                    cid_dev,
+                    ntot,
+                    S_sub,
+                    C,
+                    W if not self.rescale else None,
+                    B,
+                    use_pallas,
+                    use_expected,
+                    emit_expected,
+                    coverage,
+                    large_g,
                 )
-            else:
-                block = min(512, Spad)
-                with tile_ctx:
-                    tile_stack = build_tile_stack(
-                        dev["coo"], B, r1=r1, r2=r2, window1=W, window2=W
-                    )
-                cfg = GatherConfig(
-                    W=W,
-                    B=B,
-                    S=Spad,
-                    block=block,
-                    capacity=C,
-                    cis=dev["cis"],
-                    ignore_diags=int(self.ignore_diags),
-                    ooe=bool(use_expected and self.ooe),
-                    emit_expected=emit_expected,
-                    coverage=coverage,
-                    stripes=bool(self.store_stripes),
-                    large_g=large_g,
-                )
-                step = make_pileup_step(cfg)
-                dev_ctx.__enter__()
-                out = step(
-                    tile_stack.tiles,
-                    tile_stack.tile_map.ravel(),
-                    np.int32(tile_stack.tile_map.shape[1]),
-                    *common_args,
-                    pad(r1),
-                    pad(r2),
-                    pad(dd0),
-                    pad(cid),
-                    snipmask,
-                )
-            out = {k: np.asarray(v, np.float64) for k, v in out.items()}
-            dev_ctx.__exit__(None, None, None)
-            out = merge_flip_banks(out, Chalf)
-
-            for k in out:
+            out_total = merge_flip_banks(out_total, Chalf)
+            for k, v in out_total.items():
                 if k in ("horizontal_stripe", "vertical_stripe"):
                     continue
-                prev = acc.get(k)
-                cur = out[k][: len(cid_of)] if out[k].shape[0] == C else out[k]
-                if prev is None:
-                    acc[k] = cur.copy()
-                else:
-                    if prev.shape[0] < cur.shape[0]:
-                        grown = np.zeros(
-                            (cur.shape[0],) + prev.shape[1:], prev.dtype
-                        )
-                        grown[: prev.shape[0]] = prev
-                        prev = grown
-                        acc[k] = prev
-                    prev[: cur.shape[0]] += cur
-
-            counts = np.bincount(cid_logical, minlength=len(cid_of))
-            for i, c in enumerate(counts):
-                n_counts[i] = n_counts.get(i, 0) + int(c)
+                acc[k] = v
 
             if self.store_stripes:
-                hs = out["horizontal_stripe"][:S]
-                vs = out["vertical_stripe"][:S]
-                coords = [
-                    ".".join(
-                        str(chunk[col].values[i])
-                        for col in (
-                            "chrom1",
-                            "start1",
-                            "end1",
-                            "chrom2",
-                            "start2",
-                            "end2",
-                        )
-                    )
-                    for i in range(S)
-                ]
-                for i in range(S):
+                hs = out_total["horizontal_stripe"]
+                vs = out_total["vertical_stripe"]
+                for i in range(ntot):
                     entry = stripes.setdefault(
-                        int(cid_logical[i]), {"h": [], "v": [], "coords": []}
+                        int(arr["cidl"][i]), {"h": [], "v": [], "coords": []}
                     )
                     entry["h"].append(hs[i])
                     entry["v"].append(vs[i])
-                    entry["coords"].append(coords[i])
+                    entry["coords"].append(coord_strs[i])
 
         # -- package into pup dicts ------------------------------------
         outdict = {"ROI": {}, "control": {}}
@@ -681,6 +610,142 @@ class PileUpper:
         if outdict["ROI"]["all"]["n"] > 0:
             logger.info(f"{region1, region2}: {outdict['ROI']['all']['n']}")
         return outdict
+
+    def _device_accumulate(
+        self,
+        tile_stack,
+        dev,
+        arr,
+        cid_dev,
+        ntot,
+        S_sub,
+        C,
+        W,
+        B,
+        use_pallas,
+        use_expected,
+        emit_expected,
+        coverage,
+        large_g,
+    ):
+        """Stage the tile stack once, loop fixed-size sub-chunks through the
+        fused kernel, accumulate on host in float64."""
+        import jax
+
+        total = None
+        stripe_h, stripe_v = [], []
+
+        if use_pallas:
+            from ..ops.pallas_gather import PallasPileupSession
+
+            session = PallasPileupSession(
+                tile_stack,
+                dev["valid1"],
+                dev["valid2"],
+                dev["evec"],
+                dict(
+                    W=W,
+                    capacity=C,
+                    cis=dev["cis"],
+                    ignore_diags=int(self.ignore_diags),
+                    ooe=bool(use_expected and self.ooe),
+                ),
+            )
+            for lo in range(0, ntot, S_sub):
+                sl = slice(lo, min(lo + S_sub, ntot))
+                out = session.run(
+                    arr["r1"][sl], arr["r2"][sl], arr["dd0"][sl], cid_dev[sl]
+                )
+                out = {k: np.asarray(v, np.float64) for k, v in out.items()}
+                total = (
+                    out
+                    if total is None
+                    else {k: total[k] + out[k] for k in out}
+                )
+            return total
+
+        tiles_dev = jax.device_put(tile_stack.tiles)
+        tmap_dev = jax.device_put(tile_stack.tile_map.ravel())
+        ncolp = np.int32(tile_stack.tile_map.shape[1])
+        common = tuple(
+            jax.device_put(x)
+            for x in (
+                dev["evec"],
+                dev["valid1"],
+                dev["valid2"],
+                dev["cov1"],
+                dev["cov2"],
+            )
+        )
+
+        rescale = self.rescale
+        for lo in range(0, ntot, S_sub):
+            sl = slice(lo, min(lo + S_sub, ntot))
+            S = sl.stop - sl.start
+
+            def pad(a, fill=0):
+                out = np.full(S_sub, fill, a.dtype)
+                out[:S] = a[sl]
+                return out
+
+            snipmask = np.zeros(S_sub, bool)
+            snipmask[:S] = True
+            if rescale:
+                cfg = RescaleConfig(
+                    R=self.rescale_size,
+                    Hmax=_next_pow2(self.max_extent_bins),
+                    B=B,
+                    S=S_sub,
+                    block=min(64, S_sub),
+                    capacity=C,
+                    cis=dev["cis"],
+                    ignore_diags=int(self.ignore_diags),
+                    ooe=bool(use_expected and self.ooe),
+                    emit_expected=emit_expected,
+                    coverage=coverage,
+                    stripes=bool(self.store_stripes),
+                    local=bool(self.local),
+                    large_g=large_g,
+                )
+                step = make_rescale_step(cfg)
+                out = step(
+                    tiles_dev, tmap_dev, ncolp, *common,
+                    pad(arr["r1"]), pad(arr["r2"]),
+                    pad(arr["h1"], 1), pad(arr["w2"], 1),
+                    pad(arr["dd0"]), pad(cid_dev), snipmask,
+                )
+            else:
+                cfg = GatherConfig(
+                    W=W,
+                    B=B,
+                    S=S_sub,
+                    block=min(512, S_sub),
+                    capacity=C,
+                    cis=dev["cis"],
+                    ignore_diags=int(self.ignore_diags),
+                    ooe=bool(use_expected and self.ooe),
+                    emit_expected=emit_expected,
+                    coverage=coverage,
+                    stripes=bool(self.store_stripes),
+                    large_g=large_g,
+                )
+                step = make_pileup_step(cfg)
+                out = step(
+                    tiles_dev, tmap_dev, ncolp, *common,
+                    pad(arr["r1"]), pad(arr["r2"]),
+                    pad(arr["dd0"]), pad(cid_dev), snipmask,
+                )
+            out = {k: np.asarray(v, np.float64) for k, v in out.items()}
+            if self.store_stripes:
+                stripe_h.append(out.pop("horizontal_stripe")[:S])
+                stripe_v.append(out.pop("vertical_stripe")[:S])
+            total = (
+                out if total is None else {k: total[k] + out[k] for k in out}
+            )
+        if self.store_stripes:
+            total["horizontal_stripe"] = np.concatenate(stripe_h)
+            total["vertical_stripe"] = np.concatenate(stripe_v)
+        return total
 
     # -- the full run (reference coolpup.py:1360–1654) ----------------------
 

@@ -287,49 +287,74 @@ def fold_expected(evec, pad):
     return out.reshape(-1, 1)
 
 
+class PallasPileupSession:
+    """Device-resident state for repeated kernel invocations over one region:
+    the tile stack, validity vectors and folded expected vector are
+    transferred once (the axon tunnel makes per-call re-transfer the
+    dominant cost otherwise); each run() quad-sorts one snip sub-chunk and
+    invokes the kernel."""
+
+    def __init__(self, tile_stack, valid1, valid2, evec, cfg_kw):
+        import jax
+
+        B = tile_stack.B
+        assert B == PALLAS_B
+        self.tile_stack = tile_stack
+        self.cfg_kw = dict(cfg_kw)
+        # margin: quad valid slices need +2B, the expected row slice reads
+        # 8B past fbase (pow2 over-slice), keep headroom for both
+        npad = 1 << int(
+            np.ceil(np.log2(max(len(valid1), len(valid2)) + 12 * B))
+        )
+        self.npad = npad
+        v1 = np.zeros((npad, 1), np.float32)
+        v1[: len(valid1), 0] = valid1
+        v2 = np.zeros((npad, 1), np.float32)
+        v2[: len(valid2), 0] = valid2
+        evec2 = fold_expected(np.asarray(evec, np.float32), npad)
+        self.tiles_dev = jax.device_put(tile_stack.tiles)
+        self.v1_dev = jax.device_put(v1)
+        self.v2_dev = jax.device_put(v2)
+        self.evec2_dev = jax.device_put(evec2)
+        self.n0 = np.array([npad], np.int32)
+
+    def run(self, r1, r2, dd0, cid):
+        B = self.tile_stack.B
+        order, quads = prep_quads(r1, r2, self.tile_stack.tile_map, B)
+        nq = len(quads["qstart"])
+        # bucket Q to limit distinct compiled shapes
+        Q = 1 << int(np.ceil(np.log2(max(256, nq))))
+        quads = pad_quads(quads, Q)
+        cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
+        step = make_pallas_pileup_step(cfg)
+
+        o1 = (r1[order] % B).astype(np.int32)
+        o2 = (r2[order] % B).astype(np.int32)
+        dd0s = np.asarray(dd0)[order].astype(np.int64)
+        # per-quad diagonal offset: dd0 - o1 + o2 is constant within a quad
+        st = quads["qstart"]
+        qdd0 = np.zeros_like(quads["qstart"])
+        qdd0[:nq] = (dd0s[st[:nq]] - o1[st[:nq]] + o2[st[:nq]]).astype(
+            np.int32
+        )
+        out = step(
+            quads["k00"], quads["k01"], quads["k10"], quads["k11"],
+            quads["qb1"], quads["qb2"], qdd0, quads["qstart"],
+            quads["qcount"],
+            o1, o2, np.asarray(cid)[order].astype(np.int32),
+            self.n0,
+            self.tiles_dev, self.v1_dev, self.v2_dev, self.evec2_dev,
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        # poison rides in the sums as +inf (like the reference's
+        # accumulators); expose the explicit plane the engine expects
+        out["poison"] = np.isinf(out["sum"]).astype(np.float32)
+        return out
+
+
 def run_pallas_pileup(
     tile_stack, r1, r2, dd0, cid, valid1, valid2, evec, cfg_kw
 ):
-    """Host wrapper: quad-sort, pad, invoke the kernel. valid1/valid2/evec
-    are flat f32 vectors (evec unfolded; may be [nan] when ooe=False).
-    Returns accumulator dict [C, W, W] (f32 numpy)."""
-    B = tile_stack.B
-    assert B == PALLAS_B
-    order, quads = prep_quads(r1, r2, tile_stack.tile_map, B)
-    nq = len(quads["qstart"])
-    Q = 1 << int(np.ceil(np.log2(max(8, nq))))
-    quads = pad_quads(quads, Q)
-    cfg = PallasGatherConfig(Q=Q, **cfg_kw)
-    step = make_pallas_pileup_step(cfg)
-
-    # margin: quad valid slices need +2B, the expected row slice reads 8B
-    # past fbase (pow2 over-slice), keep headroom for both
-    npad = 1 << int(np.ceil(np.log2(max(len(valid1), len(valid2)) + 12 * B)))
-    v1 = np.zeros((npad, 1), np.float32)
-    v1[: len(valid1), 0] = valid1
-    v2 = np.zeros((npad, 1), np.float32)
-    v2[: len(valid2), 0] = valid2
-    evec2 = fold_expected(np.asarray(evec, np.float32), npad)
-
-    o1 = (r1[order] % B).astype(np.int32)
-    o2 = (r2[order] % B).astype(np.int32)
-    dd0s = dd0[order].astype(np.int64)
-    # per-quad diagonal offset: dd0 - o1 + o2 is constant within a quad
-    st = quads["qstart"]
-    nq_real = nq
-    qdd0 = np.zeros_like(quads["qstart"])
-    qdd0[:nq_real] = (
-        dd0s[st[:nq_real]] - o1[st[:nq_real]] + o2[st[:nq_real]]
-    ).astype(np.int32)
-    out = step(
-        quads["k00"], quads["k01"], quads["k10"], quads["k11"],
-        quads["qb1"], quads["qb2"], qdd0, quads["qstart"], quads["qcount"],
-        o1, o2, cid[order].astype(np.int32),
-        np.array([npad], np.int32),
-        tile_stack.tiles, v1, v2, evec2,
-    )
-    out = {k: np.asarray(v) for k, v in out.items()}
-    # poison rides in the sums as +inf (like the reference's accumulators);
-    # expose it as the explicit plane the engine expects
-    out["poison"] = np.isinf(out["sum"]).astype(np.float32)
-    return out
+    """One-shot wrapper around PallasPileupSession (tests / small runs)."""
+    session = PallasPileupSession(tile_stack, valid1, valid2, evec, cfg_kw)
+    return session.run(r1, r2, dd0, cid)
