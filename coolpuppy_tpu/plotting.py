@@ -278,7 +278,10 @@ def sort_stripes(pupsdf, stripe, stripe_sort="sum", out_sorted_bedpe=None):
         coords = np.array(
             [".".join(c) for c in pupsdf["coordinates"].iloc[i]], dtype=object
         )
-        order = np.argsort([natsort_key(c) for c in coords])
+        order = np.array(
+            sorted(range(len(coords)), key=lambda k: natsort_key(coords[k])),
+            dtype=np.int64,
+        )
         for c in stripe_cols:
             pupsdf.at[i, c] = np.asarray(pupsdf[c].iloc[i])[order]
     ref_coords = np.asarray(pupsdf["coordinates"].iloc[0])
@@ -360,14 +363,6 @@ def plot_stripes(
     cmap = plt.get_cmap(cmap).copy()
     cmap.set_bad(cmap_emptypixel)
 
-    max_n = int(
-        pd.to_numeric(
-            pupsdf.loc[pupsdf.get("group", pd.Series(["x"] * len(pupsdf))) != "all", "n"]
-            if "group" in pupsdf.columns
-            else pupsdf["n"]
-        ).max()
-    )
-
     do_lineplot = lineplot and nrows == 1 and ncols == 1
     fig, axarr = plt.subplots(
         nrows * (2 if do_lineplot else 1),
@@ -423,5 +418,4 @@ def plot_stripes(
                 )
     fig.subplots_adjust(wspace=0.05, hspace=0.05, right=ncols / (ncols + 0.25))
     _shared_colorbar(fig, heat_axes, norm, cmap, sym, scale)
-    del max_n
     return fig

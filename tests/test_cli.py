@@ -112,3 +112,19 @@ def test_cli_auto_name_and_stripes(setup, monkeypatch):
     assert "vertical_stripe" in pups.columns
     vs = pups["vertical_stripe"].iloc[0]
     assert vs.shape == (6, 5)
+
+    plotpup_cli.main(
+        [
+            "--input_pups",
+            out,
+            "--output",
+            str(d / "stripes.png"),
+            "--stripe",
+            "corner_stripe",
+            "--no_score",
+            "--out_sorted_bedpe",
+            str(d / "sorted.bedpe"),
+        ]
+    )
+    assert (d / "stripes.png").exists()
+    assert (d / "sorted.bedpe").exists()
