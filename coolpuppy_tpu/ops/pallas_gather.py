@@ -322,8 +322,9 @@ class PallasPileupSession:
         B = self.tile_stack.B
         order, quads = prep_quads(r1, r2, self.tile_stack.tile_map, B)
         nq = len(quads["qstart"])
-        # bucket Q to limit distinct compiled shapes
-        Q = 1 << int(np.ceil(np.log2(max(256, nq))))
+        # fixed Q floor: zero-count quads cost ~nothing at run time, while
+        # every distinct Q is a multi-minute Mosaic compile on this stack
+        Q = 1 << int(np.ceil(np.log2(max(2048, nq))))
         quads = pad_quads(quads, Q)
         cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
         step = make_pallas_pileup_step(cfg)
