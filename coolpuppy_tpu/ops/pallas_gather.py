@@ -324,7 +324,7 @@ class PallasPileupSession:
         nq = len(quads["qstart"])
         # fixed Q floor: zero-count quads cost ~nothing at run time, while
         # every distinct Q is a multi-minute Mosaic compile on this stack
-        Q = 1 << int(np.ceil(np.log2(max(2048, nq))))
+        Q = 1 << int(np.ceil(np.log2(max(256, nq))))
         quads = pad_quads(quads, Q)
         cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
         step = make_pallas_pileup_step(cfg)
