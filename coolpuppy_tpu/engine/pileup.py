@@ -638,6 +638,9 @@ class PileUpper:
         if use_pallas:
             from ..ops.pallas_gather import PallasPileupSession
 
+            # a trash accumulator slot absorbs padding snips so every
+            # sub-chunk has the same length (distinct lengths recompile)
+            trash = C
             session = PallasPileupSession(
                 tile_stack,
                 dev["valid1"],
@@ -645,7 +648,7 @@ class PileUpper:
                 dev["evec"],
                 dict(
                     W=W,
-                    capacity=C,
+                    capacity=C + 8,
                     cis=dev["cis"],
                     ignore_diags=int(self.ignore_diags),
                     ooe=bool(use_expected and self.ooe),
@@ -653,10 +656,24 @@ class PileUpper:
             )
             for lo in range(0, ntot, S_sub):
                 sl = slice(lo, min(lo + S_sub, ntot))
+                S = sl.stop - sl.start
+
+                def padded(a, fill):
+                    if S == S_sub:
+                        return a[sl]
+                    out = np.full(S_sub, fill, a.dtype)
+                    out[:S] = a[sl]
+                    return out
+
                 out = session.run(
-                    arr["r1"][sl], arr["r2"][sl], arr["dd0"][sl], cid_dev[sl]
+                    padded(arr["r1"], 0),
+                    padded(arr["r2"], 0),
+                    padded(arr["dd0"], 0),
+                    padded(cid_dev, trash),
                 )
-                out = {k: np.asarray(v, np.float64) for k, v in out.items()}
+                out = {
+                    k: np.asarray(v, np.float64)[:C] for k, v in out.items()
+                }
                 total = (
                     out
                     if total is None
