@@ -157,6 +157,63 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=3):
     return snips / (best + stage_time), best + stage_time, compile_time, snips
 
 
+def bench_engine(n_sites=20_000, binsize=10_000, maxdist=2_000_000, seed=0):
+    """Full user-facing pipeline: synthetic .cool + stranded CTCF-like sites
+    -> pileup(by_strand=True) through the engine (coords, ingest, kernels,
+    normalization)."""
+    import pandas as pd
+    from coolpuppy_tpu import Cooler, pileup
+    from coolpuppy_tpu.io import write_cool
+
+    rng = np.random.default_rng(seed)
+    n_bins = 20_000
+    length = n_bins * binsize
+    d = rng.zipf(1.35, 24_000_000)
+    d = d[d < n_bins][:12_000_000]
+    i = rng.integers(0, n_bins, len(d))
+    j = np.minimum(i + d, n_bins - 1)
+    vals = rng.poisson(3.0, len(d)) + 1
+    keep = i <= j
+    path = "/tmp/bench_engine.cool"
+    weights = rng.uniform(0.5, 1.5, n_bins)
+    weights[rng.random(n_bins) < 0.03] = np.nan
+    write_cool(
+        path,
+        {"chr1": length},
+        binsize,
+        (i[keep], j[keep], vals[keep]),
+        weights=weights,
+    )
+    clr = Cooler(path)
+    starts = np.sort(rng.choice(length - 10_000, n_sites, replace=False))
+    feats = pd.DataFrame(
+        {
+            "chrom": "chr1",
+            "start": starts,
+            "end": starts + 1_000,
+            "name": ".",
+            "score": 0,
+            "strand": rng.choice(["+", "-"], n_sites),
+        }
+    )
+    t0 = time.time()
+    pup = pileup(
+        clr,
+        feats,
+        features_format="bed",
+        flank=100_000,
+        maxdist=maxdist,
+        nshifts=1,
+        seed=0,
+        by_strand=True,
+    )
+    wall = time.time() - t0
+    n_snips = int(pup.loc[pup["orientation"] == "all", "n"].iloc[0]) + int(
+        pup.loc[pup["orientation"] == "all", "control_n"].iloc[0]
+    )
+    return n_snips / wall, wall, n_snips
+
+
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
     """The reference's per-snip hot loop (coolpup.py:1104–1191): CSR slice ->
     dense, NaN bad rows/cols, diag mask, ooe divide, nansum-accumulate."""
@@ -191,6 +248,11 @@ def main():
     ap.add_argument(
         "--backend", choices=["xla", "pallas"], default="pallas"
     )
+    ap.add_argument(
+        "--engine",
+        action="store_true",
+        help="benchmark the full pileup() pipeline instead of the kernel",
+    )
     args = ap.parse_args()
     if args.quick:
         args.loci, args.chunk, args.ref_snips = 131_072, 32_768, 2_000
@@ -199,6 +261,27 @@ def main():
 
     _jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    if args.engine:
+        import jax
+
+        rate, wall, n_snips = bench_engine()
+        print(
+            json.dumps(
+                {
+                    "metric": "engine_snippets_per_sec",
+                    "value": round(rate),
+                    "unit": "snips/s",
+                    "vs_baseline": None,
+                    "detail": {
+                        "device": str(jax.devices()[0]),
+                        "snips": n_snips,
+                        "wall_s": round(wall, 2),
+                    },
+                }
+            )
+        )
+        return
 
     W = 21
     csr, coo, r1, r2, gid, flip, valid, evec = make_workload(

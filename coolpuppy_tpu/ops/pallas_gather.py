@@ -8,24 +8,28 @@ per-snip dynamic-slice overhead. This kernel exploits snip locality instead:
    window touches) — near-diagonal loci cluster heavily, so a quad averages
    tens-to-hundreds of snips.
 2. Grid = one step per quad. Each step DMAs the quad's 4 tiles from HBM into
-   a VMEM superwindow once and builds the quad's bad-bin mask plane as a
-   rank-1 outer product on the MXU (dot_general of the two validity column
-   vectors — no transposes). Then it loops over the quad's snips with pure
-   VPU work.
-3. Mosaic's lane-alignment rules (dynamic offsets in the last dim must be
-   128-multiples) shape the inner loop: windows are cut as [W, 2B] sublane
-   slices and rotated into place with a dynamic lane roll; the expected
-   toeplitz is built from a [2W-1] sublane slice of a *pre-folded* expected
-   vector (evec2[x] = expected[|x - n0|], so no abs() in the index) with a
-   statically-unrolled 2W-1-term shift sum.
-4. Per-snip scalars (o1, o2, dd0, cid) ride in SMEM via scalar prefetch; the
-   [C, W, W] group accumulators are kernel outputs whose block is constant
-   across the sequential TPU grid, so accumulation needs no atomics.
+   a VMEM superwindow once, then pre-normalizes the WHOLE superwindow:
+   bad-bin mask outer product (column->row transpose + broadcast multiply —
+   rank-1 dot_general miscompiles on hardware), diagonal mask from iota +
+   the quad's constant diagonal offset, and OOE division by an expected
+   toeplitz plane built from a *pre-folded* expected vector
+   (evec2[x] = expected[|x - n0|], so no abs() in any index) via a
+   lane-strided roll. Division-by-zero poison stays in the plane as +inf,
+   exactly like the reference's accumulators (coolpup.py:1154–1156); the
+   host recovers it as isinf(sum).
+3. The per-snip inner loop is then just two window cuts (aligned pow2
+   sublane over-slice + dynamic rolls — Mosaic requires provable 8/128
+   alignment, and non-pow2 sublane rolls rotate into tile padding) and two
+   dynamic-indexed accumulates into the VMEM-resident [C, W, W] group
+   accumulators, manually unrolled. Measured ~28M snips/s in isolation.
+4. Per-snip scalars (o1, o2, cid) and per-quad scalars ride in SMEM via
+   scalar prefetch; accumulator blocks are constant across the sequential
+   TPU grid, so accumulation needs no atomics.
 
 Flips are handled by the caller via the flip-bank trick (ops/gather.py
 merge_flip_banks) — no flip work in-kernel. Semantics are identical to
-ops/gather.py (same mask planes, poison handling; reference hot loop
-coolpup.py:1104–1191).
+ops/gather.py (same mask planes; reference hot loop coolpup.py:1104–1191).
+Use PallasPileupSession to keep the tile stack device-resident across calls.
 """
 
 from __future__ import annotations
@@ -102,7 +106,7 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         n0ref,
         tiles_ref, valid1_ref, valid2_ref, evec2_ref,
         sum_ref, num_ref,
-        sup, msup, sems,
+        sup, msup, v1s, v2s, fs, sems,
     ):
         q = pl.program_id(0)
 
@@ -115,6 +119,10 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
 
         @pl.when(cnt > 0)
         def _():
+            # quad origins are tile-aligned; tell Mosaic so the dynamic
+            # offsets below are provably aligned
+            base1 = pl.multiple_of(qb1[q], B)
+            base2 = pl.multiple_of(qb2[q], B)
             copies = [
                 pltpu.make_async_copy(
                     tiles_ref.at[k00[q]], sup.at[0:B, 0:B], sems.at[0]
@@ -129,19 +137,36 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                     tiles_ref.at[k11[q]], sup.at[B : 2 * B, B : 2 * B],
                     sems.at[3],
                 ),
+                # per-bin vectors live in HBM as [N, 1] (a VMEM-resident
+                # column vector would be lane-padded 128x); DMA the quad's
+                # segments into small scratch
+                pltpu.make_async_copy(
+                    valid1_ref.at[pl.ds(base1, 2 * B), :], v1s, sems.at[4]
+                ),
+                pltpu.make_async_copy(
+                    valid2_ref.at[pl.ds(base2, 2 * B), :], v2s, sems.at[5]
+                ),
             ]
+            if cfg.ooe:
+                dq = n0ref[0] + qdd0[q]
+                fbase = dq - (2 * B - 1)
+                fb_al = pl.multiple_of((fbase // 8) * 8, 8)
+                f_off = fbase - fb_al
+                copies.append(
+                    pltpu.make_async_copy(
+                        evec2_ref.at[pl.ds(fb_al, 8 * B), :], fs, sems.at[6]
+                    )
+                )
             for c in copies:
                 c.start()
+            for c in copies:
+                c.wait()
 
-            # quad origins are tile-aligned; tell Mosaic so the sublane
-            # slices below are provably 8-aligned
-            base1 = pl.multiple_of(qb1[q], B)
-            base2 = pl.multiple_of(qb2[q], B)
             # quad bad-bin mask plane: broadcast outer product (NOTE: the
             # rank-1 dot_general formulation miscompiles on hardware;
             # column->row transposes and broadcast multiplies are verified)
-            v1seg = valid1_ref[pl.ds(base1, 2 * B), 0:1]  # [2B, 1]
-            v2seg = valid2_ref[pl.ds(base2, 2 * B), 0:1]  # [2B, 1]
+            v1seg = v1s[...]  # [2B, 1]
+            v2seg = v2s[...]  # [2B, 1]
             mask_plane = v1seg * v2seg.T
             if cfg.cis and cfg.ignore_diags > 0:
                 # diagonal index of plane cell (x, y) is qdd0 + x - y
@@ -158,13 +183,8 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                 # transposed staircase with a lane roll whose shift strides
                 # along sublanes (Mosaic only strides non-minor axes), then
                 # transpose once per quad.
-                dq = n0ref[0] + qdd0[q]
-                fbase = dq - (2 * B - 1)
-                fb_al = pl.multiple_of((fbase // 8) * 8, 8)
-                f_off = fbase - fb_al
                 # pow2 over-slice (see WA note): 8B rows covers 4B + align
-                f = evec2_ref[pl.ds(fb_al, 8 * B), 0:1]  # [8B, 1]
-                f = pltpu.roll(f, -f_off, 0)[0 : 4 * B, :]
+                f = pltpu.roll(fs[...], -f_off, 0)[0 : 4 * B, :]
                 # NaN (missing expected) would poison the plane algebra;
                 # ride through as a negative sentinel, restored below
                 f = jnp.where(jnp.isfinite(f), f, -1.0)
@@ -175,9 +195,6 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                 )[:, 0 : 2 * B]
                 ew_plane = planeT.T
                 ew_plane = jnp.where(ew_plane >= 0.0, ew_plane, jnp.nan)
-
-            for c in copies:
-                c.wait()
 
             # pre-normalize the whole superwindow ONCE per quad: per-snip
             # work then reduces to two window cuts + two accumulates.
@@ -238,9 +255,9 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         grid=(cfg.Q,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # valid1 [N,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # valid2 [N,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # evec2 [2N,1]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # valid1 [N,1] (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # valid2 [N,1] (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # evec2 [2N,1] (HBM)
         ],
         out_specs=[
             pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
@@ -251,7 +268,10 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         scratch_shapes=[
             pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # sup
             pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # msup
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2 * B, 1), jnp.float32),  # v1s
+            pltpu.VMEM((2 * B, 1), jnp.float32),  # v2s
+            pltpu.VMEM((8 * B, 1), jnp.float32),  # fs
+            pltpu.SemaphoreType.DMA((7,)),
         ],
     )
 
