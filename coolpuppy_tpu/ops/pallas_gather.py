@@ -137,9 +137,10 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                     tiles_ref.at[k11[q]], sup.at[B : 2 * B, B : 2 * B],
                     sems.at[3],
                 ),
-                # per-bin vectors live in HBM as [N, 1] (a VMEM-resident
-                # column vector would be lane-padded 128x); DMA the quad's
-                # segments into small scratch
+                # per-bin vectors live in HBM as [N, 128] with data in lane
+                # 0 (VMEM-resident column vectors lane-pad to the same 128x,
+                # but in 16 GB of HBM that's cheap, and HBM DMA slices must
+                # be 128-wide); DMA the quad's row segments into scratch
                 pltpu.make_async_copy(
                     valid1_ref.at[pl.ds(base1, 2 * B), :], v1s, sems.at[4]
                 ),
@@ -165,8 +166,8 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
             # quad bad-bin mask plane: broadcast outer product (NOTE: the
             # rank-1 dot_general formulation miscompiles on hardware;
             # column->row transposes and broadcast multiplies are verified)
-            v1seg = v1s[...]  # [2B, 1]
-            v2seg = v2s[...]  # [2B, 1]
+            v1seg = v1s[:, 0:1]  # [2B, 1]
+            v2seg = v2s[:, 0:1]  # [2B, 1]
             mask_plane = v1seg * v2seg.T
             if cfg.cis and cfg.ignore_diags > 0:
                 # diagonal index of plane cell (x, y) is qdd0 + x - y
@@ -184,7 +185,7 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
                 # along sublanes (Mosaic only strides non-minor axes), then
                 # transpose once per quad.
                 # pow2 over-slice (see WA note): 8B rows covers 4B + align
-                f = pltpu.roll(fs[...], -f_off, 0)[0 : 4 * B, :]
+                f = pltpu.roll(fs[:, 0:1], -f_off, 0)[0 : 4 * B, :]
                 # NaN (missing expected) would poison the plane algebra;
                 # ride through as a negative sentinel, restored below
                 f = jnp.where(jnp.isfinite(f), f, -1.0)
@@ -268,9 +269,9 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         scratch_shapes=[
             pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # sup
             pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # msup
-            pltpu.VMEM((2 * B, 1), jnp.float32),  # v1s
-            pltpu.VMEM((2 * B, 1), jnp.float32),  # v2s
-            pltpu.VMEM((8 * B, 1), jnp.float32),  # fs
+            pltpu.VMEM((2 * B, 128), jnp.float32),  # v1s
+            pltpu.VMEM((2 * B, 128), jnp.float32),  # v2s
+            pltpu.VMEM((8 * B, 128), jnp.float32),  # fs
             pltpu.SemaphoreType.DMA((7,)),
         ],
     )
@@ -327,11 +328,13 @@ class PallasPileupSession:
             np.ceil(np.log2(max(len(valid1), len(valid2)) + 12 * B))
         )
         self.npad = npad
-        v1 = np.zeros((npad, 1), np.float32)
+        # [N, 128] with data in lane 0: HBM DMA slices must be 128-wide
+        v1 = np.zeros((npad, 128), np.float32)
         v1[: len(valid1), 0] = valid1
-        v2 = np.zeros((npad, 1), np.float32)
+        v2 = np.zeros((npad, 128), np.float32)
         v2[: len(valid2), 0] = valid2
-        evec2 = fold_expected(np.asarray(evec, np.float32), npad)
+        evec2 = np.zeros((2 * npad, 128), np.float32)
+        evec2[:, 0:1] = fold_expected(np.asarray(evec, np.float32), npad)
         self.tiles_dev = jax.device_put(tile_stack.tiles)
         self.v1_dev = jax.device_put(v1)
         self.v2_dev = jax.device_put(v2)
