@@ -56,6 +56,7 @@ class PallasGatherConfig:
     ooe: bool
     interpret: bool = False
     B: int = PALLAS_B
+    unroll: int = 2  # inner-loop unroll; compile time grows sharply with it
 
     def __post_init__(self):
         # W + alignment headroom must fit the superwindow rows
@@ -220,7 +221,7 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
             # rotate into the tile padding) — hence next_pow2, not round8.
             WA = 1 << int(np.ceil(np.log2(W + 8)))
 
-            U = 8  # manual unroll (dynamic trip count forbids lax unroll)
+            U = cfg.unroll  # dynamic trip count forbids lax unroll
 
             def one_snip(j):
                 s = qstart[q] + j
