@@ -328,8 +328,6 @@ class PileUpper:
             return False
         if W > 120:  # pallas superwindow headroom limit
             return False
-        if self.expected and not dev["cis"]:
-            return False
         if self.backend == "pallas":
             return True
         import jax

@@ -106,3 +106,79 @@ def build_tile_stack(coo, B, r1=None, r2=None, window1=None, window2=None):
         flat = np.bincount(flat_idx, weights=vals, minlength=(K + 1) * B * B)
         tiles = flat.reshape(K + 1, B, B).astype(np.float32)
     return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
+
+
+def normalize_tile_stack(
+    ts: TileStack,
+    valid1,
+    valid2,
+    evec=None,
+    ooe=False,
+    cis=True,
+    ignore_diags=2,
+    frame_shift=0,
+):
+    """Pre-normalize a tile stack on the host into (contribution, num) stacks.
+
+    For every materialized tile, applies the full per-pixel semantics of the
+    reference hot loop (coolpup.py:1104–1156) — bad-bin masking, diagonal
+    masking, OOE division — so the device kernel reduces to pure window cuts
+    and accumulates with ONE kernel shape for all modes:
+
+      ctiles[k, x, y] = masked, OOE-divided value (inf kept at poison pixels,
+                        like the reference's sums; NaN -> 0 with num=0)
+      ntiles[k, x, y] = 1.0 where the pixel counts toward `num`
+
+    The diagonal index of pixel (x, y) in tile (tr, tc) is
+    tr*B + x - (tc*B + y) + frame_shift (frame_shift = region-frame offset
+    difference; 0 for same-region cis).
+    Returns (ctiles, ntiles) float32 [K+1, B, B].
+    """
+    B = ts.B
+    tiles = ts.tiles
+    K1 = tiles.shape[0]
+    # recover (tr, tc) per stack slot from the grid lookup
+    tr = np.zeros(K1, np.int64)
+    tc = np.zeros(K1, np.int64)
+    grid_r, grid_c = np.nonzero(ts.tile_map)
+    tr[ts.tile_map[grid_r, grid_c]] = grid_r
+    tc[ts.tile_map[grid_r, grid_c]] = grid_c
+
+    n1, n2 = ts.shape
+    v1 = np.zeros(((n1 + 2 * B - 1) // B) * B + B, np.float32)
+    v1[: len(valid1)] = valid1
+    v2 = np.zeros(((n2 + 2 * B - 1) // B) * B + B, np.float32)
+    v2[: len(valid2)] = valid2
+
+    ar = np.arange(B)
+    rows = tr[:, None] * B + ar[None, :]  # [K1, B]
+    cols = tc[:, None] * B + ar[None, :]
+    mask = v1[rows][:, :, None] * v2[cols][:, None, :]  # [K1, B, B]
+    if cis and ignore_diags > 0:
+        diag = rows[:, :, None] - cols[:, None, :] + frame_shift
+        mask = mask * (np.abs(diag) >= ignore_diags)
+
+    if ooe:
+        if np.ndim(evec) == 0 or len(np.atleast_1d(evec)) == 1:
+            ew = np.full((K1, B, B), float(np.atleast_1d(evec)[0]), np.float32)
+        else:
+            diag = np.abs(rows[:, :, None] - cols[:, None, :] + frame_shift)
+            epad = np.full(
+                max(int(diag.max()) + 1, len(evec)), np.nan, np.float32
+            )
+            epad[: len(evec)] = evec
+            ew = epad[diag]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = tiles / ew
+    else:
+        val = tiles
+
+    finite = np.isfinite(val)
+    ntiles = (finite & (mask > 0)).astype(np.float32)
+    # keep +inf (poison) at masked-in pixels; avoid inf*0=NaN at masked-out
+    ctiles = np.where(
+        mask > 0, np.where(np.isnan(val), 0.0, val), 0.0
+    ).astype(np.float32)
+    ctiles[0] = 0.0
+    ntiles[0] = 0.0
+    return ctiles, ntiles
