@@ -652,6 +652,7 @@ class PileUpper:
                     ooe=bool(use_expected and self.ooe),
                 ),
             )
+            douts = []
             for lo in range(0, ntot, S_sub):
                 sl = slice(lo, min(lo + S_sub, ntot))
                 S = sl.stop - sl.start
@@ -663,21 +664,19 @@ class PileUpper:
                     out[:S] = a[sl]
                     return out
 
-                out = session.run(
-                    padded(arr["r1"], 0),
-                    padded(arr["r2"], 0),
-                    padded(arr["dd0"], 0),
-                    padded(cid_dev, trash),
+                # fetch=False: dispatches are async, chunks pipeline on the
+                # device with no per-chunk host round-trip
+                douts.append(
+                    session.run(
+                        padded(arr["r1"], 0),
+                        padded(arr["r2"], 0),
+                        padded(arr["dd0"], 0),
+                        padded(cid_dev, trash),
+                        fetch=False,
+                    )
                 )
-                out = {
-                    k: np.asarray(v, np.float64)[:C] for k, v in out.items()
-                }
-                total = (
-                    out
-                    if total is None
-                    else {k: total[k] + out[k] for k in out}
-                )
-            return total
+            total = session.finalize(douts)
+            return {k: v[:C] for k, v in total.items()}
 
         tiles_dev = jax.device_put(tile_stack.tiles)
         tmap_dev = jax.device_put(tile_stack.tile_map.ravel())
@@ -694,6 +693,7 @@ class PileUpper:
         )
 
         rescale = self.rescale
+        douts = []
         for lo in range(0, ntot, S_sub):
             sl = slice(lo, min(lo + S_sub, ntot))
             S = sl.stop - sl.start
@@ -750,6 +750,9 @@ class PileUpper:
                     pad(arr["r1"]), pad(arr["r2"]),
                     pad(arr["dd0"]), pad(cid_dev), snipmask,
                 )
+            douts.append((out, S))
+        # single sync point: all chunk dispatches above pipeline on the device
+        for out, S in douts:
             out = {k: np.asarray(v, np.float64) for k, v in out.items()}
             if self.store_stripes:
                 stripe_h.append(out.pop("horizontal_stripe")[:S])

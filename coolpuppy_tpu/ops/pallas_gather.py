@@ -227,11 +227,16 @@ def fold_expected(evec, pad):
 
 class PallasPileupSession:
     """Device-resident state for repeated kernel invocations over one region:
-    the host-normalized (contribution, num) tile stacks are transferred once
-    (the axon tunnel makes per-call re-transfer the dominant cost otherwise);
-    each run() quad-sorts one snip sub-chunk and invokes the kernel."""
+    the raw tile stack is transferred once and normalized ON DEVICE
+    (ops/tiles.py::normalize_tile_stack_device — halves tunnel bytes and moves
+    the O(K·B²) mask/toeplitz work to the VPU); each run() quad-sorts one snip
+    sub-chunk and dispatches the kernel WITHOUT a host sync, so successive
+    chunks pipeline. Call finalize() on the collected outputs (or pass
+    fetch=True) to block and materialize float64 totals + the poison plane."""
 
-    def __init__(self, tile_stack, valid1, valid2, evec, cfg_kw):
+    def __init__(
+        self, tile_stack, valid1, valid2, evec, cfg_kw, device_normalize=True
+    ):
         import jax
 
         B = tile_stack.B
@@ -243,20 +248,34 @@ class PallasPileupSession:
         ignore_diags = cfg_kw.pop("ignore_diags", 2)
         frame_shift = cfg_kw.pop("frame_shift", 0)
         self.cfg_kw = cfg_kw
-        ctiles, ntiles = normalize_tile_stack(
-            tile_stack,
-            valid1,
-            valid2,
-            evec=evec,
-            ooe=ooe,
-            cis=cis,
-            ignore_diags=ignore_diags,
-            frame_shift=frame_shift,
-        )
-        self.ctiles_dev = jax.device_put(ctiles)
-        self.ntiles_dev = jax.device_put(ntiles)
+        if device_normalize:
+            from .tiles import normalize_tile_stack_device
 
-    def run(self, r1, r2, dd0=None, cid=None):
+            self.ctiles_dev, self.ntiles_dev = normalize_tile_stack_device(
+                tile_stack,
+                valid1,
+                valid2,
+                evec=evec,
+                ooe=ooe,
+                cis=cis,
+                ignore_diags=ignore_diags,
+                frame_shift=frame_shift,
+            )
+        else:
+            ctiles, ntiles = normalize_tile_stack(
+                tile_stack,
+                valid1,
+                valid2,
+                evec=evec,
+                ooe=ooe,
+                cis=cis,
+                ignore_diags=ignore_diags,
+                frame_shift=frame_shift,
+            )
+            self.ctiles_dev = jax.device_put(ctiles)
+            self.ntiles_dev = jax.device_put(ntiles)
+
+    def run(self, r1, r2, dd0=None, cid=None, fetch=True):
         B = self.tile_stack.B
         order, quads = prep_quads(r1, r2, self.tile_stack.tile_map, B)
         nq = len(quads["qstart"])
@@ -274,11 +293,22 @@ class PallasPileupSession:
             o1, o2, np.asarray(cid)[order].astype(np.int32),
             self.ctiles_dev, self.ntiles_dev,
         )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        # poison rides in the sums as +inf (like the reference's
-        # accumulators); expose the explicit plane the engine expects
-        out["poison"] = np.isinf(out["sum"]).astype(np.float32)
-        return out
+        if not fetch:
+            return out  # device arrays; no sync — chunk dispatches pipeline
+        return self.finalize([out])
+
+    @staticmethod
+    def finalize(outs):
+        """Block on a list of run(fetch=False) outputs and reduce them to
+        float64 host totals. Poison rides the sums as +inf (contributions are
+        nonnegative, so inf never cancels); expose it as the explicit plane
+        the engine expects, exactly once for the whole stream."""
+        total = None
+        for o in outs:
+            h = {k: np.asarray(v, np.float64) for k, v in o.items()}
+            total = h if total is None else {k: total[k] + h[k] for k in h}
+        total["poison"] = np.isinf(total["sum"]).astype(np.float64)
+        return total
 
 
 def run_pallas_pileup(

@@ -12,6 +12,7 @@ dynamic_slice with static shapes (see ops/gather.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -181,4 +182,116 @@ def normalize_tile_stack(
     ).astype(np.float32)
     ctiles[0] = 0.0
     ntiles[0] = 0.0
+    return ctiles, ntiles
+
+
+@lru_cache(maxsize=None)
+def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(tiles, tr, tc, v1, v2, epad):
+        ar = jnp.arange(B, dtype=jnp.int32)
+        rows = tr[:, None] * B + ar[None, :]  # [k, B]
+        cols = tc[:, None] * B + ar[None, :]
+        mask = v1[rows][:, :, None] * v2[cols][:, None, :]
+        diag = rows[:, :, None] - cols[:, None, :] + frame_shift
+        if cis and ignore_diags > 0:
+            mask = mask * (jnp.abs(diag) >= ignore_diags)
+        if ooe:
+            ew = epad[jnp.minimum(jnp.abs(diag), epad.shape[0] - 1)]
+            val = tiles / ew
+        else:
+            val = tiles
+        finite = jnp.isfinite(val)
+        ntiles = (finite & (mask > 0)).astype(jnp.float32)
+        ctiles = jnp.where(
+            mask > 0, jnp.where(jnp.isnan(val), 0.0, val), 0.0
+        ).astype(jnp.float32)
+        return ctiles, ntiles
+
+    return f
+
+
+def normalize_tile_stack_device(
+    ts: TileStack,
+    valid1,
+    valid2,
+    evec=None,
+    ooe=False,
+    cis=True,
+    ignore_diags=2,
+    frame_shift=0,
+    slab=1024,
+):
+    """Device-side `normalize_tile_stack`: same per-pixel semantics
+    (reference coolpup.py:1104–1156), computed on the accelerator.
+
+    Only the RAW tile stack crosses the host↔device link (half the bytes of
+    shipping both normalized stacks, and the O(K·B²) mask/toeplitz/divide work
+    rides the VPU instead of host numpy). Slabs of `slab` tiles keep device
+    intermediates bounded for large regions; every slab reuses one compiled
+    shape. Returns (ctiles, ntiles) as device arrays, [K+1, B, B] float32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = ts.B
+    K1 = ts.tiles.shape[0]
+    tr = np.zeros(K1, np.int32)
+    tc = np.zeros(K1, np.int32)
+    gr, gc = np.nonzero(ts.tile_map)
+    tr[ts.tile_map[gr, gc]] = gr
+    tc[ts.tile_map[gr, gc]] = gc
+
+    nrp, ncp = ts.tile_map.shape
+    # callers may pass valid vectors padded beyond the tiled extent (the
+    # engine pow2-pads them for the kernel); bins past nrp*B+B are unreachable
+    # by any tile row index, so clip
+    v1 = np.zeros(nrp * B + B, np.float32)
+    m1 = min(len(valid1), len(v1))
+    v1[:m1] = np.asarray(valid1, np.float32)[:m1]
+    v2 = np.zeros(ncp * B + B, np.float32)
+    m2 = min(len(valid2), len(v2))
+    v2[:m2] = np.asarray(valid2, np.float32)[:m2]
+    # epad covers every reachable |diag|; NaN beyond the expected vector is
+    # exactly the host/reference behavior (NaN -> masked out of num)
+    L = (max(nrp, ncp) + 2) * B + abs(int(frame_shift)) + 1
+    epad = np.full(L, np.nan, np.float32)
+    if ooe and evec is not None:
+        ev = np.atleast_1d(np.asarray(evec, np.float32))
+        if ev.size == 1:
+            epad[:] = ev[0]
+        else:
+            epad[: min(ev.size, L)] = ev[:L]
+
+    f = _make_normalize_slab_fn(
+        B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
+    )
+    v1d, v2d, ed = jax.device_put((v1, v2, epad))
+
+    slab = min(slab, K1)
+    kpad = -(-K1 // slab) * slab
+    tilesp = ts.tiles
+    trp, tcp = tr, tc
+    if kpad != K1:
+        tilesp = np.concatenate(
+            [tilesp, np.zeros((kpad - K1, B, B), np.float32)]
+        )
+        trp = np.concatenate([tr, np.zeros(kpad - K1, np.int32)])
+        tcp = np.concatenate([tc, np.zeros(kpad - K1, np.int32)])
+
+    cparts, nparts = [], []
+    for lo in range(0, kpad, slab):
+        sl = slice(lo, lo + slab)
+        c, n = f(jax.device_put(tilesp[sl]), trp[sl], tcp[sl], v1d, v2d, ed)
+        cparts.append(c)
+        nparts.append(n)
+    ctiles = jnp.concatenate(cparts)[:K1] if len(cparts) > 1 else cparts[0][:K1]
+    ntiles = jnp.concatenate(nparts)[:K1] if len(nparts) > 1 else nparts[0][:K1]
+    # stack slot 0 is the shared all-zero tile: no data, no counts
+    zero = jnp.zeros((1, B, B), jnp.float32)
+    ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
+    ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
     return ctiles, ntiles
