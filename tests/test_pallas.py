@@ -61,3 +61,41 @@ def test_pallas_matches_xla(ooe):
     np.testing.assert_allclose(
         got["num"], np.asarray(want["num"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_device_normalize_matches_host_and_clips_padded_valid():
+    """normalize_tile_stack_device == normalize_tile_stack, including when
+    the caller passes valid/evec vectors pow2-padded past the tiled extent
+    (the engine does this; regression for a broadcast crash)."""
+    from coolpuppy_tpu.ops.tiles import (
+        normalize_tile_stack,
+        normalize_tile_stack_device,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 300
+    W, B = 11, 128
+    dense = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.3)
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    r1 = rng.integers(0, n - W, 64).astype(np.int32)
+    r2 = rng.integers(0, n - W, 64).astype(np.int32)
+    ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+
+    valid = (rng.random(n) > 0.1).astype(np.float32)
+    evec = (10.0 / (1.0 + np.arange(n))).astype(np.float32)
+
+    want_c, want_n = normalize_tile_stack(
+        ts, valid, valid, evec=evec, ooe=True, cis=True, ignore_diags=2
+    )
+    # pow2-padded inputs, longer than the tile extent
+    vpad = np.zeros(16384, np.float32)
+    vpad[:n] = valid
+    epad = np.full(16384, np.nan, np.float32)
+    epad[:n] = evec
+    got_c, got_n = normalize_tile_stack_device(
+        ts, vpad, vpad, evec=epad, ooe=True, cis=True, ignore_diags=2,
+        slab=4,  # force the multi-slab path too
+    )
+    np.testing.assert_allclose(np.asarray(got_c), want_c, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_n), want_n)
