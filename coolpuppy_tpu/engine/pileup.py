@@ -43,7 +43,7 @@ from ..lib.puputils import (
     sum_pups,
 )
 from ..ops.gather import GatherConfig, make_pileup_step, merge_flip_banks
-from ..ops.tiles import build_tile_stack
+from ..ops.tiles import build_tile_stack_slab
 from ..ops.rescale import RescaleConfig, make_rescale_step
 from .. import coverage as coverage_mod
 
@@ -261,7 +261,7 @@ class PileUpper:
         min2, max2 = self.view_df_extents[region2]
         n1, n2 = max1 - min1, max2 - min2
 
-        coo = self.clr.fetch_coo(r1c, r2c, balance=self.clr_weight_name)
+        slab = self.clr.fetch_slab(r1c, r2c, balance=self.clr_weight_name)
 
         def padded(vec, fill=0.0):
             out = np.full(
@@ -299,7 +299,7 @@ class PileUpper:
             evec = np.array([np.nan], np.float32)
 
         return dict(
-            coo=coo,
+            slab=slab,
             min1=min1,
             min2=min2,
             n1=n1,
@@ -507,8 +507,8 @@ class PileUpper:
                 from ..ops.pallas_gather import PALLAS_B
 
                 tile_B = PALLAS_B if use_pallas else B
-                tile_stack = build_tile_stack(
-                    dev["coo"],
+                tile_stack = build_tile_stack_slab(
+                    dev["slab"],
                     tile_B,
                     r1=arr["r1"],
                     r2=arr["r2"],

@@ -13,11 +13,38 @@ from __future__ import annotations
 
 import threading
 from contextlib import contextmanager
+from dataclasses import dataclass
 
 import h5py
 import numpy as np
 import pandas as pd
 from scipy import sparse as sp
+
+
+@dataclass
+class PixelSlab:
+    """Stored-triangle pixels of a region fetch, before mirroring/balancing —
+    the zero-copy handle the tile scatter consumes. ``rows``/``cols`` are
+    GLOBAL bin ids; the logical rectangle is rows in [lo1, lo1+shape[0]),
+    cols in [lo2, lo2+shape[1]). ``mirror`` means the symmetric transpose of
+    every off-diagonal pixel also belongs to the rectangle (cis same-extent
+    fetches — the mirror is applied by the consumer, never materialized).
+    ``weights`` is the GLOBAL per-bin balancing vector with NaNs cleaned to 0
+    (bad-bin products -> 0, masked downstream like reference
+    coolpup.py:1122–1123), or None for unbalanced."""
+
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray  # float32
+    lo1: int
+    lo2: int
+    shape: tuple
+    mirror: bool
+    weights: np.ndarray | None
+
+    @property
+    def nnz(self):
+        return len(self.rows)
 
 
 def parse_cooler_uri(uri):
@@ -87,6 +114,8 @@ class Cooler:
             self.n_pixels = int(grp["pixels/bin1_id"].shape[0])
         self._bins_df = None
         self._bin1_offset = None
+        self._n_bins = self.n_bins
+        self._weights_clean_cache = {}
 
     # -- low-level ---------------------------------------------------------
 
@@ -182,18 +211,69 @@ class Cooler:
 
     def _fetch_rect_raw(self, lo1, hi1, lo2, hi2):
         """Stored (upper-triangle) pixels with bin1 in [lo1,hi1), bin2 in
-        [lo2,hi2). One contiguous HDF5 slab read over the row span."""
+        [lo2,hi2). One contiguous HDF5 slab read over the row span; counts
+        are converted to float32 at read time (no post-hoc astype pass)."""
         b1off = self.bin1_offset()
         p_lo, p_hi = int(b1off[lo1]), int(b1off[hi1])
         if p_hi <= p_lo:
             empty = np.array([], dtype=np.int64)
-            return empty, empty, np.array([], dtype=np.float64)
+            return empty, empty, np.array([], dtype=np.float32)
         with self._lock, self._open() as grp:
-            bin1 = grp["pixels/bin1_id"][p_lo:p_hi].astype(np.int64)
-            bin2 = grp["pixels/bin2_id"][p_lo:p_hi].astype(np.int64)
-            count = grp["pixels/count"][p_lo:p_hi].astype(np.float64)
+            bin1 = grp["pixels/bin1_id"][p_lo:p_hi]
+            bin2 = grp["pixels/bin2_id"][p_lo:p_hi]
+            count = grp["pixels/count"].astype(np.float32)[p_lo:p_hi]
+        bin1 = bin1.astype(np.int64, copy=False)
+        bin2 = bin2.astype(np.int64, copy=False)
+        if lo2 <= 0 and hi2 >= self._n_bins:
+            return bin1, bin2, count  # full column span: nothing to filter
         mask = (bin2 >= lo2) & (bin2 < hi2)
         return bin1[mask], bin2[mask], count[mask]
+
+    def _clean_weights(self, balance):
+        """Global per-bin balancing weights with NaN -> 0 (cached; the
+        NaN-cleaning the old path did per-pixel over the whole fetch)."""
+        balance = "weight" if balance is True else balance
+        w = self._weights_clean_cache.get(balance)
+        if w is None:
+            w = np.nan_to_num(
+                self.bins_df()[balance].values.astype(np.float32)
+            )
+            self._weights_clean_cache[balance] = w
+        return w
+
+    def fetch_slab(self, region1, region2=None, balance="weight"):
+        """Stored-triangle pixels of the query rectangle as a PixelSlab —
+        the fast path behind ``fetch_coo``/the tile scatter. A cis
+        same-extent query is ONE contiguous HDF5 read (mirror deferred to
+        the consumer); distinct extents read both row spans like cooler."""
+        lo1, hi1 = self.extent(region1)
+        lo2, hi2 = self.extent(region2 if region2 is not None else region1)
+        weights = self._clean_weights(balance) if balance else None
+
+        if (lo1, hi1) == (lo2, hi2):
+            rows, cols, vals = self._fetch_rect_raw(lo1, hi1, lo2, hi2)
+            mirror = True
+        else:
+            r1, c1, v1 = self._fetch_rect_raw(lo1, hi1, lo2, hi2)
+            # transpose of stored pixels landing in the rectangle the other
+            # way; exclude the stored diagonal to avoid double counting
+            r2, c2, v2 = self._fetch_rect_raw(lo2, hi2, lo1, hi1)
+            keep = r2 != c2
+            rows = np.concatenate([r1, c2[keep]])
+            cols = np.concatenate([c1, r2[keep]])
+            vals = np.concatenate([v1, v2[keep]])
+            mirror = False
+
+        return PixelSlab(
+            rows=rows,
+            cols=cols,
+            vals=vals,
+            lo1=lo1,
+            lo2=lo2,
+            shape=(hi1 - lo1, hi2 - lo2),
+            mirror=mirror,
+            weights=weights,
+        )
 
     def fetch_coo(self, region1, region2=None, balance="weight"):
         """Symmetric-logical sparse COO of the query rectangle, optionally
@@ -202,24 +282,25 @@ class Cooler:
         (reference coolpup.py:1053–1057). Bad-bin (NaN-weight) products are
         mapped to 0; bad bins are masked downstream exactly like the
         reference NaNs full rows/cols (coolpup.py:1122–1123)."""
-        lo1, hi1 = self.extent(region1)
-        lo2, hi2 = self.extent(region2 if region2 is not None else region1)
-
-        r1, c1, v1 = self._fetch_rect_raw(lo1, hi1, lo2, hi2)
-        # transpose of stored pixels that land in the rectangle the other way
-        r2, c2, v2 = self._fetch_rect_raw(lo2, hi2, lo1, hi1)
-        keep = r2 != c2  # avoid double-counting the main diagonal
-        rows = np.concatenate([r1, c2[keep]])
-        cols = np.concatenate([c1, r2[keep]])
-        vals = np.concatenate([v1, v2[keep]])
-
-        if balance:
+        slab = self.fetch_slab(region1, region2, balance=balance)
+        rows, cols, vals = slab.rows, slab.cols, slab.vals
+        if slab.weights is not None:
+            # float64 here to keep cooler-identical numerics on the compat
+            # API (the hot slab->tile path stays float32)
             balance = "weight" if balance is True else balance
-            weights = self.bins_df()[balance].values.astype(np.float64)
-            vals = vals * np.nan_to_num(weights[rows]) * np.nan_to_num(weights[cols])
-
+            w = np.nan_to_num(
+                self.bins_df()[balance].values.astype(np.float64)
+            )
+            vals = vals.astype(np.float64) * w[rows] * w[cols]
+        if slab.mirror:
+            off = rows != cols
+            rows, cols, vals = (
+                np.concatenate([rows, cols[off]]),
+                np.concatenate([cols, rows[off]]),
+                np.concatenate([vals, vals[off]]),
+            )
         return sp.coo_matrix(
-            (vals, (rows - lo1, cols - lo2)), shape=(hi1 - lo1, hi2 - lo2)
+            (vals, (rows - slab.lo1, cols - slab.lo2)), shape=slab.shape
         )
 
     def matrix(self, sparse=False, balance="weight"):

@@ -11,11 +11,28 @@ import numpy as np
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_ingest.so")
 
 tile_scatter = None
+tile_scatter_wtri = None
 enumerate_pairs = None
 
 if os.path.exists(_SO):
     try:
         _lib = ctypes.CDLL(_SO)
+        _lib.tile_scatter_wtri.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib.tile_scatter.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
@@ -56,6 +73,40 @@ if os.path.exists(_SO):
             )
             return out
 
+        def tile_scatter_wtri(  # noqa: F811
+            rows, cols, vals, lo1, lo2, n1, n2, weights, tile_map, B, K,
+            mirror,
+        ):
+            """Stored-triangle COO -> [K+1, B, B] f32 tile stack, folding in
+            balancing weights and the symmetric mirror (see _ingest.cpp)."""
+            rows = np.ascontiguousarray(rows, np.int64)
+            cols = np.ascontiguousarray(cols, np.int64)
+            vals = np.ascontiguousarray(vals, np.float32)
+            tm = np.ascontiguousarray(tile_map, np.int32)
+            if weights is not None:
+                weights = np.ascontiguousarray(weights, np.float32)
+                wptr = weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            else:
+                wptr = ctypes.POINTER(ctypes.c_float)()
+            out = np.zeros((K + 1, B, B), np.float32)
+            _lib.tile_scatter_wtri(
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(len(rows)),
+                ctypes.c_int64(lo1),
+                ctypes.c_int64(lo2),
+                ctypes.c_int64(n1),
+                ctypes.c_int64(n2),
+                wptr,
+                tm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(tm.shape[1]),
+                ctypes.c_int64(B),
+                ctypes.c_int32(1 if mirror else 0),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out
+
         def enumerate_pairs(centers, mindist, maxdist, cap=None):  # noqa: F811
             """All sorted-center pairs with distance in [mindist, maxdist]."""
             centers = np.ascontiguousarray(centers, np.float64)
@@ -80,4 +131,5 @@ if os.path.exists(_SO):
 
     except Exception:  # pragma: no cover
         tile_scatter = None
+        tile_scatter_wtri = None
         enumerate_pairs = None

@@ -32,6 +32,49 @@ void tile_scatter(const int64_t* rows, const int64_t* cols, const double* vals,
   }
 }
 
+// Fused triangle scatter: one pass over the STORED (upper-triangle) pixels of
+// a cooler region fetch, folding in balancing weights and the symmetric
+// mirror, so the host never materializes the mirrored/balanced COO (the
+// reference materializes it via clr.matrix(sparse=True).fetch, then slices —
+// coolpup.py:1053–1057, 1115–1121).
+//
+// rows/cols are GLOBAL bin ids; the logical rectangle is rows in
+// [lo1, lo1+n1), cols in [lo2, lo2+n2). w (global per-bin, NaN already
+// cleaned to 0) may be NULL for unbalanced. mirror!=0 additionally scatters
+// the transposed pixel (cis same-extent fetches, skipping the diagonal).
+void tile_scatter_wtri(const int64_t* rows, const int64_t* cols,
+                       const float* vals, int64_t nnz, int64_t lo1,
+                       int64_t lo2, int64_t n1, int64_t n2, const float* w,
+                       const int32_t* tile_map, int64_t tm_cols, int64_t B,
+                       int32_t mirror, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nnz; i++) {
+    const int64_t gr = rows[i], gc = cols[i];
+    float v = vals[i];
+    if (w) v *= w[gr] * w[gc];
+    const int64_t r = gr - lo1, c = gc - lo2;
+    if (r >= 0 && r < n1 && c >= 0 && c < n2) {
+      const int32_t k = tile_map[(r / B) * tm_cols + (c / B)];
+      if (k > 0) {
+        float* cell = out + ((int64_t)k * B + (r % B)) * B + (c % B);
+#pragma omp atomic
+        *cell += v;
+      }
+    }
+    if (mirror && gr != gc) {
+      const int64_t r2 = gc - lo1, c2 = gr - lo2;
+      if (r2 >= 0 && r2 < n1 && c2 >= 0 && c2 < n2) {
+        const int32_t k = tile_map[(r2 / B) * tm_cols + (c2 / B)];
+        if (k > 0) {
+          float* cell = out + ((int64_t)k * B + (r2 % B)) * B + (c2 % B);
+#pragma omp atomic
+          *cell += v;
+        }
+      }
+    }
+  }
+}
+
 // Enumerate ordered pairs (i, j), i < j, with |center[j] - center[i]| in
 // [mindist, maxdist], assuming centers sorted ascending. Writes pair indices
 // into out_i/out_j (caller-allocated, capacity cap); returns the number of

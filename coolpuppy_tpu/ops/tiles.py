@@ -18,8 +18,10 @@ import numpy as np
 
 try:  # optional native scatter (coolpuppy_tpu/native)
     from ..native import tile_scatter as _native_tile_scatter
+    from ..native import tile_scatter_wtri as _native_tile_scatter_wtri
 except Exception:  # pragma: no cover - native ext is optional
     _native_tile_scatter = None
+    _native_tile_scatter_wtri = None
 
 
 @dataclass
@@ -106,6 +108,66 @@ def build_tile_stack(coo, B, r1=None, r2=None, window1=None, window2=None):
         flat_idx = pix_tile * (B * B) + (rows % B) * B + (cols % B)
         flat = np.bincount(flat_idx, weights=vals, minlength=(K + 1) * B * B)
         tiles = flat.reshape(K + 1, B, B).astype(np.float32)
+    return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
+
+
+def build_tile_stack_slab(slab, B, r1=None, r2=None, window1=None, window2=None):
+    """Scatter a stored-triangle PixelSlab (io/cool.py::fetch_slab) into a
+    TileStack in ONE fused pass: balancing weights and the symmetric mirror
+    are folded into the native scatter, so the mirrored/balanced COO the
+    reference materializes (coolpup.py:1053–1057) never exists on the host.
+    Falls back to fetch_coo-equivalent numpy when the native lib is absent."""
+    n1, n2 = slab.shape
+    nr, nc = -(-n1 // B), -(-n2 // B)
+
+    if r1 is not None:
+        want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
+    else:
+        lr = slab.rows - slab.lo1
+        lc = slab.cols - slab.lo2
+        t = np.unique((lr // B) * nc + lc // B)
+        if slab.mirror:
+            t = np.union1d(t, (lc // B) * nc + lr // B)
+        want = t
+
+    K = len(want)
+    tile_map = np.zeros((nr + 1, nc + 1), dtype=np.int32)
+    tile_map[want // nc, want % nc] = np.arange(1, K + 1, dtype=np.int32)
+
+    if K == 0 or slab.nnz == 0:
+        tiles = np.zeros((K + 1, B, B), dtype=np.float32)
+        return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
+
+    if _native_tile_scatter_wtri is not None:
+        tiles = _native_tile_scatter_wtri(
+            slab.rows, slab.cols, slab.vals, slab.lo1, slab.lo2, n1, n2,
+            slab.weights, tile_map, B, K, slab.mirror,
+        )
+        return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
+
+    # numpy fallback: materialize weighted + mirrored local COO
+    rows = slab.rows - slab.lo1
+    cols = slab.cols - slab.lo2
+    vals = slab.vals.astype(np.float64)
+    if slab.weights is not None:
+        vals = vals * slab.weights[slab.rows] * slab.weights[slab.cols]
+    if slab.mirror:
+        off = slab.rows != slab.cols
+        rows, cols, vals = (
+            np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+            np.concatenate([vals, vals[off]]),
+        )
+    inb = (rows >= 0) & (rows < n1) & (cols >= 0) & (cols < n2)
+    rows, cols, vals = rows[inb], cols[inb], vals[inb]
+    pix_tile = tile_map[rows // B, cols // B].astype(np.int64)
+    keep = pix_tile > 0
+    rows, cols, vals, pix_tile = (
+        rows[keep], cols[keep], vals[keep], pix_tile[keep],
+    )
+    flat_idx = pix_tile * (B * B) + (rows % B) * B + (cols % B)
+    flat = np.bincount(flat_idx, weights=vals, minlength=(K + 1) * B * B)
+    tiles = flat.reshape(K + 1, B, B).astype(np.float32)
     return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
 
 

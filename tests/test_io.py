@@ -141,3 +141,45 @@ def test_txt_header_roundtrip(tmp_path):
     assert out["maxdist"] == np.inf
     assert out["groupby"] == ["strand1", "strand2"]
     assert out["expected"] is None
+
+
+def test_fetch_slab_tile_stack_matches_coo(toy):
+    """build_tile_stack_slab (fused weights+mirror scatter over the stored
+    triangle) == build_tile_stack over the materialized balanced COO, for
+    cis (mirrored) and off-diagonal rectangle (two-read) fetches, with the
+    native C++ path and the numpy fallback."""
+    from coolpuppy_tpu.ops import tiles as tiles_mod
+    from coolpuppy_tpu.ops.tiles import build_tile_stack, build_tile_stack_slab
+
+    clr, dense, weights = toy
+    rng = np.random.default_rng(0)
+
+    for r1, r2 in [("chr1", "chr1"), (("chr1", 0, 30_000_000), ("chr1", 50_000_000, 100_000_000))]:
+        slab = clr.fetch_slab(r1, r2, balance="weight")
+        coo = clr.fetch_coo(r1, r2, balance="weight")
+        assert slab.mirror == (r1 == r2)
+        n1, n2 = coo.shape
+        W = 5
+        s1 = rng.integers(0, max(1, n1 - W), 40).astype(np.int32)
+        s2 = rng.integers(0, max(1, n2 - W), 40).astype(np.int32)
+        want = build_tile_stack(coo, 32, r1=s1, r2=s2, window1=W, window2=W)
+        got = build_tile_stack_slab(slab, 32, r1=s1, r2=s2, window1=W, window2=W)
+        np.testing.assert_array_equal(got.tile_map, want.tile_map)
+        np.testing.assert_allclose(got.tiles, want.tiles, rtol=1e-5, atol=1e-5)
+        if tiles_mod._native_tile_scatter_wtri is not None:
+            saved = tiles_mod._native_tile_scatter_wtri
+            try:
+                tiles_mod._native_tile_scatter_wtri = None
+                fb = build_tile_stack_slab(slab, 32, r1=s1, r2=s2, window1=W, window2=W)
+            finally:
+                tiles_mod._native_tile_scatter_wtri = saved
+            np.testing.assert_allclose(fb.tiles, got.tiles, rtol=1e-5, atol=1e-5)
+
+    # unbalanced
+    slab = clr.fetch_slab("chr1", "chr1", balance=False)
+    assert slab.weights is None
+    coo = clr.fetch_coo("chr1", "chr1", balance=False)
+    want = build_tile_stack(coo, 32)
+    got = build_tile_stack_slab(slab, 32)
+    np.testing.assert_array_equal(got.tile_map, want.tile_map)
+    np.testing.assert_allclose(got.tiles, want.tiles, rtol=1e-5, atol=1e-5)
