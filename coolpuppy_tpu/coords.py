@@ -334,13 +334,23 @@ class CoordCreator:
         the side-2 bp shift — upstream applies the side-1 shift to both bin
         axes, contradicting its own bp coordinates)."""
         res = self.resolution
-        intervals2d = intervals2d.copy()
+        # shallow copy: we only ADD a column; deep-copying a region's full
+        # frame (object chrom/strand/group columns) costs seconds at 100k+
+        # rows and the caller's columns are never mutated
+        intervals2d = intervals2d.copy(deep=False)
         intervals2d["kind"] = "ROI"
         if nshifts <= 0:
             return intervals2d
         if rng is None:
             rng = self._rng("anon")
-        ctrl = pd.concat([intervals2d] * nshifts).reset_index(drop=True)
+        # nshifts-fold replication via tiled column arrays (object tiles are
+        # pointer copies) — pd.concat([df]*nshifts) re-copies every block
+        ctrl = pd.DataFrame(
+            {
+                c: np.tile(intervals2d[c].values, nshifts)
+                for c in intervals2d.columns
+            }
+        )
         n = ctrl.shape[0]
         shift = rng.integers(self.minshift, self.maxshift, n) * rng.choice(
             [-1, 1], n

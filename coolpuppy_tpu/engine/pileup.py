@@ -446,18 +446,22 @@ class PileUpper:
                 cols["flip"].append(chunk["flip"].values.astype(bool))
             else:
                 cols["flip"].append(np.zeros(len(chunk), bool))
-            cols["cidl"].append(
-                np.fromiter(
-                    (
-                        ensure_cid(k, g)
-                        for k, g in zip(
-                            chunk["kind"].values, chunk["group"].values
-                        )
-                    ),
-                    count=len(chunk),
-                    dtype=np.int32,
-                )
+            # vectorized (kind, group) -> cid: python only per UNIQUE pair
+            kcode, kuniq = pd.factorize(chunk["kind"])
+            gcode, guniq = pd.factorize(chunk["group"])
+            pair = kcode.astype(np.int64) * max(len(guniq), 1) + gcode
+            upair, inv = np.unique(pair, return_inverse=True)
+            ucid = np.array(
+                [
+                    ensure_cid(
+                        kuniq[p // max(len(guniq), 1)],
+                        guniq[p % max(len(guniq), 1)],
+                    )
+                    for p in upair
+                ],
+                dtype=np.int32,
             )
+            cols["cidl"].append(ucid[inv])
             cols["h1"].append(h1)
             cols["w2"].append(w2)
             if self.store_stripes:
