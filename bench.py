@@ -269,10 +269,9 @@ def main():
     if args.quick:
         args.loci, args.chunk, args.ref_snips = 131_072, 32_768, 2_000
 
-    import jax as _jax
+    from coolpuppy_tpu.jax_setup import ensure_jax_cache
 
-    _jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    ensure_jax_cache()
 
     if args.engine:
         import jax

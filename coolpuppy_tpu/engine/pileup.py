@@ -123,6 +123,27 @@ class PileUpper:
         self.trace_dir = trace_dir
         self.backend = backend
         self._timers = None
+        # warm the JAX backend off-thread: first jax.devices() sets up the
+        # accelerator runtime (~10s through a TPU tunnel) and would otherwise
+        # serialize after host-side coordinate generation
+        if backend != "xla":
+            import threading
+
+            from ..jax_setup import ensure_jax_cache
+
+            ensure_jax_cache()
+
+            def _warm():
+                try:
+                    import jax
+
+                    jax.devices()
+                except Exception:
+                    pass
+
+            threading.Thread(
+                target=_warm, name="jax-backend-warmup", daemon=True
+            ).start()
 
         if view_df is None:
             self.view_df = make_cooler_view(clr)

@@ -239,6 +239,10 @@ class PallasPileupSession:
     ):
         import jax
 
+        from ..jax_setup import ensure_jax_cache
+
+        ensure_jax_cache()
+
         B = tile_stack.B
         assert B == PALLAS_B
         self.tile_stack = tile_stack
