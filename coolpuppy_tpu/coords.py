@@ -334,23 +334,24 @@ class CoordCreator:
         the side-2 bp shift — upstream applies the side-1 shift to both bin
         axes, contradicting its own bp coordinates)."""
         res = self.resolution
-        # shallow copy: we only ADD a column; deep-copying a region's full
-        # frame (object chrom/strand/group columns) costs seconds at 100k+
-        # rows and the caller's columns are never mutated
+        # shallow copy: we only ADD columns here. ALIASING CONTRACT: the
+        # returned ROI rows share column arrays with the caller's frame —
+        # downstream hooks (modify_2Dintervals_func / postprocess_frame_func)
+        # must assign whole columns, not mutate cells in place (all built-in
+        # hooks do). Deep-copying a region's full frame (object chrom/strand/
+        # group columns) costs seconds at 100k+ rows.
         intervals2d = intervals2d.copy(deep=False)
         intervals2d["kind"] = "ROI"
         if nshifts <= 0:
             return intervals2d
         if rng is None:
             rng = self._rng("anon")
-        # nshifts-fold replication via tiled column arrays (object tiles are
-        # pointer copies) — pd.concat([df]*nshifts) re-copies every block
-        ctrl = pd.DataFrame(
-            {
-                c: np.tile(intervals2d[c].values, nshifts)
-                for c in intervals2d.columns
-            }
-        )
+        # nshifts-fold replication via positional take — preserves extension
+        # dtypes (categorical chrom/strand) that np.tile over .values would
+        # degrade to object; pd.concat([df]*nshifts) re-copies every block
+        ctrl = intervals2d.iloc[
+            np.tile(np.arange(len(intervals2d)), nshifts)
+        ].reset_index(drop=True)
         n = ctrl.shape[0]
         shift = rng.integers(self.minshift, self.maxshift, n) * rng.choice(
             [-1, 1], n

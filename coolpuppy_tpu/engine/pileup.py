@@ -467,9 +467,11 @@ class PileUpper:
                 cols["flip"].append(chunk["flip"].values.astype(bool))
             else:
                 cols["flip"].append(np.zeros(len(chunk), bool))
-            # vectorized (kind, group) -> cid: python only per UNIQUE pair
-            kcode, kuniq = pd.factorize(chunk["kind"])
-            gcode, guniq = pd.factorize(chunk["group"])
+            # vectorized (kind, group) -> cid: python only per UNIQUE pair.
+            # use_na_sentinel=False keeps a NaN group as a regular category
+            # (the -1 sentinel would alias a legitimate (kind, group) code)
+            kcode, kuniq = pd.factorize(chunk["kind"], use_na_sentinel=False)
+            gcode, guniq = pd.factorize(chunk["group"], use_na_sentinel=False)
             pair = kcode.astype(np.int64) * max(len(guniq), 1) + gcode
             upair, inv = np.unique(pair, return_inverse=True)
             ucid = np.array(
@@ -652,8 +654,12 @@ class PileUpper:
         large_g,
     ):
         """Stage the tile stack once, loop fixed-size sub-chunks through the
-        fused kernel, accumulate on host in float64."""
+        fused kernel, keeping a running on-device total (one accumulator set
+        live regardless of chunk count; dispatches stay async so chunks still
+        pipeline). Stripe planes are per-snip output data and are retained per
+        chunk (device-side) until the single sync."""
         import jax
+        import jax.numpy as jnp
 
         total = None
         stripe_h, stripe_v = [], []
@@ -677,7 +683,7 @@ class PileUpper:
                     ooe=bool(use_expected and self.ooe),
                 ),
             )
-            douts = []
+            total_dev = None
             for lo in range(0, ntot, S_sub):
                 sl = slice(lo, min(lo + S_sub, ntot))
                 S = sl.stop - sl.start
@@ -690,17 +696,22 @@ class PileUpper:
                     return out
 
                 # fetch=False: dispatches are async, chunks pipeline on the
-                # device with no per-chunk host round-trip
-                douts.append(
-                    session.run(
-                        padded(arr["r1"], 0),
-                        padded(arr["r2"], 0),
-                        padded(arr["dd0"], 0),
-                        padded(cid_dev, trash),
-                        fetch=False,
-                    )
+                # device with no per-chunk host round-trip. A running
+                # on-device total keeps exactly ONE accumulator set live
+                # instead of O(n_chunks) [C, W, W] outputs.
+                out = session.run(
+                    padded(arr["r1"], 0),
+                    padded(arr["r2"], 0),
+                    padded(arr["dd0"], 0),
+                    padded(cid_dev, trash),
+                    fetch=False,
                 )
-            total = session.finalize(douts)
+                total_dev = (
+                    out
+                    if total_dev is None
+                    else jax.tree.map(jnp.add, total_dev, out)
+                )
+            total = session.finalize([total_dev])
             return {k: v[:C] for k, v in total.items()}
 
         tiles_dev = jax.device_put(tile_stack.tiles)
@@ -718,7 +729,6 @@ class PileUpper:
         )
 
         rescale = self.rescale
-        douts = []
         for lo in range(0, ntot, S_sub):
             sl = slice(lo, min(lo + S_sub, ntot))
             S = sl.stop - sl.start
@@ -775,19 +785,23 @@ class PileUpper:
                     pad(arr["r1"]), pad(arr["r2"]),
                     pad(arr["dd0"]), pad(cid_dev), snipmask,
                 )
-            douts.append((out, S))
-        # single sync point: all chunk dispatches above pipeline on the device
-        for out, S in douts:
-            out = {k: np.asarray(v, np.float64) for k, v in out.items()}
             if self.store_stripes:
-                stripe_h.append(out.pop("horizontal_stripe")[:S])
-                stripe_v.append(out.pop("vertical_stripe")[:S])
+                stripe_h.append((out.pop("horizontal_stripe"), S))
+                stripe_v.append((out.pop("vertical_stripe"), S))
             total = (
-                out if total is None else {k: total[k] + out[k] for k in out}
+                out
+                if total is None
+                else jax.tree.map(jnp.add, total, out)
             )
+        # single sync point: all chunk dispatches above pipeline on the device
+        total = {k: np.asarray(v, np.float64) for k, v in total.items()}
         if self.store_stripes:
-            total["horizontal_stripe"] = np.concatenate(stripe_h)
-            total["vertical_stripe"] = np.concatenate(stripe_v)
+            total["horizontal_stripe"] = np.concatenate(
+                [np.asarray(h, np.float64)[:S] for h, S in stripe_h]
+            )
+            total["vertical_stripe"] = np.concatenate(
+                [np.asarray(v, np.float64)[:S] for v, S in stripe_v]
+            )
         return total
 
     # -- the full run (reference coolpup.py:1360–1654) ----------------------

@@ -209,19 +209,21 @@ class Cooler:
 
     # -- pixel fetch -------------------------------------------------------
 
-    def _fetch_rect_raw(self, lo1, hi1, lo2, hi2):
+    def _fetch_rect_raw(self, lo1, hi1, lo2, hi2, dtype=np.float32):
         """Stored (upper-triangle) pixels with bin1 in [lo1,hi1), bin2 in
         [lo2,hi2). One contiguous HDF5 slab read over the row span; counts
-        are converted to float32 at read time (no post-hoc astype pass)."""
+        are converted to ``dtype`` at read time (no post-hoc astype pass).
+        float32 is the hot tile-scatter path; the exact compat path
+        (fetch_coo / expected) reads float64 so counts >= 2**24 stay exact."""
         b1off = self.bin1_offset()
         p_lo, p_hi = int(b1off[lo1]), int(b1off[hi1])
         if p_hi <= p_lo:
             empty = np.array([], dtype=np.int64)
-            return empty, empty, np.array([], dtype=np.float32)
+            return empty, empty, np.array([], dtype=dtype)
         with self._lock, self._open() as grp:
             bin1 = grp["pixels/bin1_id"][p_lo:p_hi]
             bin2 = grp["pixels/bin2_id"][p_lo:p_hi]
-            count = grp["pixels/count"].astype(np.float32)[p_lo:p_hi]
+            count = grp["pixels/count"].astype(dtype)[p_lo:p_hi]
         bin1 = bin1.astype(np.int64, copy=False)
         bin2 = bin2.astype(np.int64, copy=False)
         if lo2 <= 0 and hi2 >= self._n_bins:
@@ -241,7 +243,7 @@ class Cooler:
             self._weights_clean_cache[balance] = w
         return w
 
-    def fetch_slab(self, region1, region2=None, balance="weight"):
+    def fetch_slab(self, region1, region2=None, balance="weight", dtype=np.float32):
         """Stored-triangle pixels of the query rectangle as a PixelSlab —
         the fast path behind ``fetch_coo``/the tile scatter. A cis
         same-extent query is ONE contiguous HDF5 read (mirror deferred to
@@ -251,13 +253,13 @@ class Cooler:
         weights = self._clean_weights(balance) if balance else None
 
         if (lo1, hi1) == (lo2, hi2):
-            rows, cols, vals = self._fetch_rect_raw(lo1, hi1, lo2, hi2)
+            rows, cols, vals = self._fetch_rect_raw(lo1, hi1, lo2, hi2, dtype)
             mirror = True
         else:
-            r1, c1, v1 = self._fetch_rect_raw(lo1, hi1, lo2, hi2)
+            r1, c1, v1 = self._fetch_rect_raw(lo1, hi1, lo2, hi2, dtype)
             # transpose of stored pixels landing in the rectangle the other
             # way; exclude the stored diagonal to avoid double counting
-            r2, c2, v2 = self._fetch_rect_raw(lo2, hi2, lo1, hi1)
+            r2, c2, v2 = self._fetch_rect_raw(lo2, hi2, lo1, hi1, dtype)
             keep = r2 != c2
             rows = np.concatenate([r1, c2[keep]])
             cols = np.concatenate([c1, r2[keep]])
@@ -282,16 +284,17 @@ class Cooler:
         (reference coolpup.py:1053–1057). Bad-bin (NaN-weight) products are
         mapped to 0; bad bins are masked downstream exactly like the
         reference NaNs full rows/cols (coolpup.py:1122–1123)."""
-        slab = self.fetch_slab(region1, region2, balance=balance)
+        # float64 at the HDF5 layer keeps cooler-identical numerics on the
+        # compat API, incl. raw counts >= 2**24 (the hot slab->tile path
+        # stays float32)
+        slab = self.fetch_slab(region1, region2, balance=balance, dtype=np.float64)
         rows, cols, vals = slab.rows, slab.cols, slab.vals
         if slab.weights is not None:
-            # float64 here to keep cooler-identical numerics on the compat
-            # API (the hot slab->tile path stays float32)
             balance = "weight" if balance is True else balance
             w = np.nan_to_num(
                 self.bins_df()[balance].values.astype(np.float64)
             )
-            vals = vals.astype(np.float64) * w[rows] * w[cols]
+            vals = vals * w[rows] * w[cols]
         if slab.mirror:
             off = rows != cols
             rows, cols, vals = (

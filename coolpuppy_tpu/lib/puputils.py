@@ -67,19 +67,22 @@ def get_score(pup, center=3, ignore_central=3):
     return get_insulation_strength(pup["data"], ignore_central)
 
 
-def divide_pups(pup1, pup2):
-    """Ratio of two single-row pup DataFrames (reference
-    lib/puputils.py:116–165)."""
-    drop_columns = [
-        "control_n",
-        "control_num",
-        "n",
-        "num",
+# per-run bookkeeping columns: excluded from the division result and from
+# the metadata-mismatch comparison (they are expected to differ between runs)
+_DIVIDE_BOOKKEEPING = frozenset(
+    {
         "clr",
-        "chroms",
-        "minshift",
+        "cooler",
+        "features",
+        "outname",
         "expected_file",
         "group",
+        "n",
+        "num",
+        "control_n",
+        "control_num",
+        "chroms",
+        "minshift",
         "maxshift",
         "mindist",
         "maxdist",
@@ -88,49 +91,58 @@ def divide_pups(pup1, pup2):
         "data",
         "horizontal_stripe",
         "vertical_stripe",
-        "cooler",
-        "features",
-        "outname",
         "coordinates",
-    ]
-    if pup1.shape[0] > 1 or pup2.shape[0] > 1:
+    }
+)
+
+
+def divide_pups(pup1, pup2):
+    """Elementwise ratio of two one-row pup DataFrames — comparing two
+    conditions (same semantics as reference lib/puputils.py:116–165: metadata
+    mismatch warnings, data division, combined n, stripe division gated on
+    identical coordinates with non-finite ratios zeroed)."""
+    if len(pup1) != 1 or len(pup2) != 1:
         raise ValueError("Pileups cannot contain multiple conditions")
-    pup1 = pup1.reset_index(drop=True)
-    pup2 = pup2.reset_index(drop=True)
-    drop_columns = list(set(drop_columns) & set(pup1.columns))
-    div_pup = pup1.drop(columns=drop_columns)
-    for col in div_pup.columns:
+    top = pup1.iloc[0]
+    bottom = pup2.iloc[0]
+
+    for col in pup1.columns:
+        if col in _DIVIDE_BOOKKEEPING or col not in pup2.columns:
+            continue
         try:
-            if np.all(np.sort(pup1[col]) != np.sort(pup2[col])):
-                warnings.warn(
-                    f"Note that {col} is different between the two pileups"
-                )
+            same = np.array_equal(
+                np.sort(np.atleast_1d(np.asarray(top[col]))),
+                np.sort(np.atleast_1d(np.asarray(bottom[col]))),
+            )
         except Exception:
-            pass
-    div_pup["data"] = pup1["data"] / pup2["data"]
-    div_pup["clrs"] = str(pup1.get("clr", [""])[0]) + "/" + str(
-        pup2.get("clr", [""])[0]
-    )
-    div_pup["n"] = pup1["n"] + pup2["n"]
-    if {"vertical_stripe", "horizontal_stripe"}.issubset(pup1.columns):
-        same_coords = np.all(
-            np.sort(np.asarray(pup1["coordinates"][0]).ravel())
-            == np.sort(np.asarray(pup2["coordinates"][0]).ravel())
-        )
-        if same_coords:
-            div_pup["coordinates"] = pup1["coordinates"]
-            for stripe in ["vertical_stripe", "horizontal_stripe"]:
-                div_pup[stripe] = pup1[stripe] / pup2[stripe]
-                div_pup[stripe] = div_pup[stripe].apply(
-                    lambda x: np.where(
-                        np.isinf(x) | np.isnan(x), 0, x
+            same = True
+        if not same:
+            warnings.warn(
+                f"Note that {col} is different between the two pileups"
+            )
+
+    out = {c: top[c] for c in pup1.columns if c not in _DIVIDE_BOOKKEEPING}
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["data"] = np.asarray(top["data"]) / np.asarray(bottom["data"])
+    out["clrs"] = f"{top.get('clr', '')}/{bottom.get('clr', '')}"
+    out["n"] = top["n"] + bottom["n"]
+
+    if "vertical_stripe" in pup1.columns and "vertical_stripe" in pup2.columns:
+        c1 = np.sort(np.asarray(top["coordinates"]).ravel())
+        c2 = np.sort(np.asarray(bottom["coordinates"]).ravel())
+        if c1.shape == c2.shape and bool(np.all(c1 == c2)):
+            out["coordinates"] = top["coordinates"]
+            for stripe in ("vertical_stripe", "horizontal_stripe"):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = np.asarray(top[stripe]) / np.asarray(
+                        bottom[stripe]
                     )
-                )
+                out[stripe] = np.where(np.isfinite(ratio), ratio, 0)
         else:
-            logging.info(
+            logger.info(
                 "Stripes cannot be divided, coordinates differ between pups"
             )
-    return div_pup
+    return pd.DataFrame([out])
 
 
 def norm_coverage(snip):
@@ -180,13 +192,58 @@ def group_by_region_frame(frame):
 group_by_region = group_by_region_frame
 
 
+def _as_list(v):
+    return v if isinstance(v, list) else [v]
+
+
 def accumulate_values(dict1, dict2, key):
-    """extra_sum_funcs helper (reference lib/puputils.py:244–253)."""
+    """extra_sum_funcs helper: collect every ``key`` value flowing through the
+    accumulator into one flat list (reference lib/puputils.py:244–253). Use as
+    ``extra_sum_funcs={"score": partial(accumulate_values, key="score")}``."""
     assert key in dict2, f"{key} not in dict2"
-    if key in dict1:
-        prev = dict1[key] if isinstance(dict1[key], list) else [dict1[key]]
-        nxt = dict2[key] if isinstance(dict2[key], list) else [dict2[key]]
-        dict1[key] = prev + nxt
-    else:
-        dict1[key] = [dict2[key]]
+    dict1[key] = _as_list(dict1.get(key, [])) + _as_list(dict2[key])
     return dict1
+
+
+def _add_snip(outdict, key, snip, extra_funcs=None):
+    """Fold one snip dict into the per-group accumulator dict — the host-side
+    streaming accumulation used by the extension path (same semantics as
+    reference lib/puputils.py:12–41: nansum data/cov, per-pixel finite counts,
+    stripe/coordinate lists, then user extra_funcs)."""
+    pup = outdict.get(key)
+    if pup is None:
+        outdict[key] = pup = {
+            "data": np.asarray(snip["data"], dtype=float),
+            "cov_start": np.asarray(snip["cov_start"], dtype=float),
+            "cov_end": np.asarray(snip["cov_end"], dtype=float),
+            "num": np.isfinite(snip["data"]).astype(int),
+            "n": 1,
+            "horizontal_stripe": [snip["horizontal_stripe"]],
+            "vertical_stripe": [snip["vertical_stripe"]],
+            "coordinates": [snip["coordinates"]],
+        }
+    else:
+        pup["data"] = np.nansum([pup["data"], snip["data"]], axis=0)
+        pup["cov_start"] = np.nansum(
+            [pup["cov_start"], snip["cov_start"]], axis=0
+        )
+        pup["cov_end"] = np.nansum([pup["cov_end"], snip["cov_end"]], axis=0)
+        pup["num"] = pup["num"] + np.isfinite(snip["data"]).astype(int)
+        pup["n"] += 1
+        pup["horizontal_stripe"].append(snip["horizontal_stripe"])
+        pup["vertical_stripe"].append(snip["vertical_stripe"])
+        pup["coordinates"].append(snip["coordinates"])
+    if extra_funcs:
+        for _key, func in extra_funcs.items():
+            outdict[key] = func(outdict[key], snip)
+
+
+def collapse_snips(obj):
+    """Flatten arbitrarily nested snip containers (generators, lists) into a
+    stream of snip dicts — per-snip postprocess hooks may yield several copies
+    of a snip (e.g. one per anchor window, reference coolpup.py:1264)."""
+    if isinstance(obj, (dict, pd.Series)):
+        yield obj
+    else:
+        for item in obj:
+            yield from collapse_snips(item)

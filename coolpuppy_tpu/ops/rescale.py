@@ -80,6 +80,31 @@ def resize1d(vec, h, R, Hmax):
     return jnp.dot(L, vec[:, None], preferred_element_type=jnp.float32)[:, 0]
 
 
+def area_resize_host(arr, out_shape):
+    """Numpy twin of resize2d/resize1d for the host per-snip extension path
+    (PileUpper.stream_snips under rescale): exact area-overlap average resize
+    of a 1D or 2D array to ``out_shape`` (same semantics as the device
+    operators above; replaces cooltools zoom_array, reference
+    coolpup.py:1223–1233, with the documented area-average deviation)."""
+    import numpy as np
+
+    def op(n_in, n_out):
+        i = np.arange(n_out)[:, None].astype(np.float64)
+        k = np.arange(n_in)[None, :].astype(np.float64)
+        cell = n_in / n_out
+        overlap = np.maximum(
+            0.0, np.minimum((i + 1) * cell, k + 1) - np.maximum(i * cell, k)
+        )
+        return overlap / max(cell, 1e-30)
+
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 1:
+        return op(arr.shape[0], out_shape[0]) @ arr
+    left = op(arr.shape[0], out_shape[0])
+    right = op(arr.shape[1], out_shape[1])
+    return left @ arr @ right.T
+
+
 @lru_cache(maxsize=32)
 def make_rescale_step(cfg: RescaleConfig):
     """Jitted fused step for the rescale path. Signature like

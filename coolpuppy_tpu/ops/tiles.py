@@ -171,6 +171,22 @@ def build_tile_stack_slab(slab, B, r1=None, r2=None, window1=None, window2=None)
     return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
 
 
+def assemble_window(tiles, tile_map, B, r1, r2, h, w):
+    """Cut one [h, w] dense window starting at (r1, r2) out of a tile stack —
+    the host-side (numpy) twin of the device gather, used by the per-snip
+    extension path (PileUpper.stream_snips). Windows span at most 2×2 tiles
+    because B >= max window size."""
+    t1, o1 = r1 // B, r1 % B
+    t2, o2 = r2 // B, r2 % B
+    sup = np.block(
+        [
+            [tiles[tile_map[t1, t2]], tiles[tile_map[t1, t2 + 1]]],
+            [tiles[tile_map[t1 + 1, t2]], tiles[tile_map[t1 + 1, t2 + 1]]],
+        ]
+    )
+    return sup[o1 : o1 + h, o2 : o2 + w]
+
+
 def normalize_tile_stack(
     ts: TileStack,
     valid1,
