@@ -36,7 +36,10 @@ from ..genomics.intervals import (
     is_compatible_viewframe,
     is_valid_expected,
 )
+from ..lib.numutils import _copy_array_halves
 from ..lib.puputils import (
+    _add_snip,
+    collapse_snips,
     empty_pup,
     group_by_region_frame,
     norm_coverage,
@@ -49,9 +52,40 @@ from .. import coverage as coverage_mod
 
 logger = logging.getLogger("coolpuppy_tpu")
 
+# paired column bases that index the gather and must NOT be swapped when
+# ignore_group_order flips a snip: the gather uses the original orientation
+# plus an in-kernel anti-transpose
+_GATHER_BASES = (
+    "stBin",
+    "endBin",
+    "exp_start",
+    "exp_end",
+    "chrom",
+    "start",
+    "end",
+    "center",
+)
+
 
 def _next_pow2(x):
     return 1 << max(0, int(np.ceil(np.log2(max(1, int(x))))))
+
+
+def _orientation_labels(pups):
+    """'strand1strand2' labels with the all-group collapsed to 'all'."""
+    labels = pups["strand1"].astype(str) + pups["strand2"].astype(str)
+    return labels.where(labels != "allall", "all")
+
+
+def _separation_label(band):
+    """Human-readable separation text for one distance-band tuple (the
+    label format the plot facets key on)."""
+    if band == "all":
+        return "all"
+    lo = band[0] / 1_000_000
+    if len(band) < 2:
+        return f"{lo}Mb+"
+    return f"{lo}Mb-\n{band[1] / 1_000_000}Mb"
 
 
 class PileUpper:
@@ -82,6 +116,7 @@ class PileUpper:
         checkpoint_dir=None,
         trace_dir=None,
         backend="auto",
+        mesh=None,
     ):
         self.clr = clr
         self.resolution = clr.binsize
@@ -122,6 +157,14 @@ class PileUpper:
         self.checkpoint_dir = checkpoint_dir
         self.trace_dir = trace_dir
         self.backend = backend
+        # multi-chip: a jax.sharding.Mesh with a "loci" axis shards every
+        # region's snip stream across devices and psums the accumulators
+        # (parallel/mesh.py); "auto" builds a 1D mesh over all local devices
+        if isinstance(mesh, str) and mesh == "auto":
+            from ..parallel.mesh import make_loci_mesh
+
+            mesh = make_loci_mesh()
+        self.mesh = mesh
         self._timers = None
         # warm the JAX backend off-thread: first jax.devices() sets up the
         # accelerator runtime (~10s through a TPU tunnel) and would otherwise
@@ -343,6 +386,10 @@ class PileUpper:
         TPU backend, plain accumulation (no expected-emission / coverage /
         stripes), moderate group count, window fits a tile, and any expected
         is a cis vector (trans scalar expected stays on the XLA path)."""
+        if self.mesh is not None:
+            # multi-chip routes the fused XLA step through shard_map; the
+            # quad-sorted pallas kernel is a single-device program
+            return False
         if self.backend == "xla":
             return False
         if emit_expected or coverage or large_g or self.store_stripes:
@@ -375,6 +422,7 @@ class PileUpper:
         groupby=None,
         modify_2Dintervals_func=None,
         postprocess_frame_func=None,
+        postprocess_snip_func=None,
         extra_sum_funcs=None,
         dev=None,
     ):
@@ -386,13 +434,29 @@ class PileUpper:
         arrays (bounds-checked, group ids factorized); (2) one block-sparse
         tile stack is built for the whole region and staged on device once,
         then fixed-size sub-chunks run through the fused kernel (Pallas quad
-        kernel on TPU, fused XLA step elsewhere)."""
+        kernel on TPU, fused XLA step elsewhere).
+
+        Hooks that need per-snip data (postprocess_snip_func) or per-snip
+        extra accumulators (extra_sum_funcs) route through the host snip
+        stream instead (reference accumulate_stream, coolpup.py:1236–1283)."""
         groupby = groupby or []
         if region2 is None:
             region2 = region1
 
         if dev is None:
             dev = self._stage_region(region1, region2)
+
+        if postprocess_snip_func is not None or extra_sum_funcs:
+            return self._pileup_region_hostpath(
+                region1,
+                region2,
+                groupby,
+                modify_2Dintervals_func,
+                postprocess_frame_func,
+                postprocess_snip_func,
+                extra_sum_funcs,
+                dev=dev,
+            )
         if self.rescale:
             R = self.rescale_size
             Hmax = _next_pow2(self.max_extent_bins)
@@ -546,6 +610,10 @@ class PileUpper:
             S_sub = min(65536, max(256, _next_pow2(ntot)))
             if self.rescale:
                 S_sub = min(4096, max(64, _next_pow2(ntot)))
+            if self.mesh is not None:
+                # equal pow2 per-device shards (padding snips absorb the rest)
+                n_shards = int(self.mesh.shape["loci"])
+                S_sub = _next_pow2(-(-S_sub // n_shards)) * n_shards
 
             with dev_ctx:
                 out_total = self._device_accumulate(
@@ -714,11 +782,21 @@ class PileUpper:
             total = session.finalize([total_dev])
             return {k: v[:C] for k, v in total.items()}
 
-        tiles_dev = jax.device_put(tile_stack.tiles)
-        tmap_dev = jax.device_put(tile_stack.tile_map.ravel())
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+
+            def put(x):
+                return jax.device_put(x, replicated)
+
+        else:
+            put = jax.device_put
+        tiles_dev = put(tile_stack.tiles)
+        tmap_dev = put(tile_stack.tile_map.ravel())
         ncolp = np.int32(tile_stack.tile_map.shape[1])
         common = tuple(
-            jax.device_put(x)
+            put(x)
             for x in (
                 dev["evec"],
                 dev["valid1"],
@@ -729,6 +807,10 @@ class PileUpper:
         )
 
         rescale = self.rescale
+        # under a mesh the step is compiled for the PER-DEVICE shard size and
+        # shard_mapped over "loci"; inputs stay global [S_sub] arrays
+        n_shards = int(self.mesh.shape["loci"]) if self.mesh is not None else 1
+        S_dev = S_sub // n_shards
         for lo in range(0, ntot, S_sub):
             sl = slice(lo, min(lo + S_sub, ntot))
             S = sl.stop - sl.start
@@ -745,8 +827,8 @@ class PileUpper:
                     R=self.rescale_size,
                     Hmax=_next_pow2(self.max_extent_bins),
                     B=B,
-                    S=S_sub,
-                    block=min(64, S_sub),
+                    S=S_dev,
+                    block=min(64, S_dev),
                     capacity=C,
                     cis=dev["cis"],
                     ignore_diags=int(self.ignore_diags),
@@ -757,7 +839,12 @@ class PileUpper:
                     local=bool(self.local),
                     large_g=large_g,
                 )
-                step = make_rescale_step(cfg)
+                if self.mesh is not None:
+                    from ..parallel.mesh import make_engine_sharded_rescale_step
+
+                    step = make_engine_sharded_rescale_step(cfg, self.mesh)
+                else:
+                    step = make_rescale_step(cfg)
                 out = step(
                     tiles_dev, tmap_dev, ncolp, *common,
                     pad(arr["r1"]), pad(arr["r2"]),
@@ -768,8 +855,8 @@ class PileUpper:
                 cfg = GatherConfig(
                     W=W,
                     B=B,
-                    S=S_sub,
-                    block=min(512, S_sub),
+                    S=S_dev,
+                    block=min(512, S_dev),
                     capacity=C,
                     cis=dev["cis"],
                     ignore_diags=int(self.ignore_diags),
@@ -779,7 +866,12 @@ class PileUpper:
                     stripes=bool(self.store_stripes),
                     large_g=large_g,
                 )
-                step = make_pileup_step(cfg)
+                if self.mesh is not None:
+                    from ..parallel.mesh import make_engine_sharded_step
+
+                    step = make_engine_sharded_step(cfg, self.mesh)
+                else:
+                    step = make_pileup_step(cfg)
                 out = step(
                     tiles_dev, tmap_dev, ncolp, *common,
                     pad(arr["r1"]), pad(arr["r2"]),
@@ -804,59 +896,266 @@ class PileUpper:
             )
         return total
 
-    # -- the full run (reference coolpup.py:1360–1654) ----------------------
+    # -- per-snip extension surface (reference coolpup.py:1059–1283) --------
 
-    def pileupsWithControl(
+    def _rescale_snip_host(self, snip):
+        """Host per-snip rescale for the extension path — reference
+        _rescale_snip semantics (coolpup.py:1193–1234): local symmetrization,
+        NaN-aware resize (area-average in place of the spline zoom, same
+        deviation as the device path), coverage vector resize."""
+        from ..ops.rescale import area_resize_host
+
+        R = self.rescale_size
+        data = np.asarray(snip["data"], dtype=float)
+        if data.size == 0 or np.all(np.isnan(data)):
+            snip["data"] = np.zeros((R, R))
+        else:
+            if self.local:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", category=RuntimeWarning)
+                    data = np.nanmean(np.dstack((data, data.T)), 2)
+            nanplane = np.isnan(data).astype(float)
+            resized = area_resize_host(np.nan_to_num(data), (R, R))
+            nan_touch = area_resize_host(nanplane, (R, R))
+            resized[np.ceil(nan_touch).astype(bool)] = np.nan
+            snip["data"] = resized
+        if self.coverage_norm:
+            snip["cov_start"] = area_resize_host(snip["cov_start"], (R,))
+            snip["cov_end"] = area_resize_host(snip["cov_end"], (R,))
+        else:
+            snip["cov_start"] = np.zeros(R)
+            snip["cov_end"] = np.zeros(R)
+        return snip
+
+    def stream_snips(
         self,
-        nproc=None,
+        region1,
+        region2=None,
+        *,
         groupby=None,
-        ignore_group_order=False,
+        control=None,
         modify_2Dintervals_func=None,
         postprocess_frame_func=None,
-        extra_sum_funcs=None,
+        dev=None,
     ):
+        """Yield per-snip dicts with gathered ``data`` — the extension surface
+        (reference _stream_snips, coolpup.py:1059–1191). Each dict carries
+        every feature column plus data / cov vectors / stripes / coordinates,
+        cut from the region's normalized tile stack with the exact per-pixel
+        semantics of the device kernels, so per-snip hooks (e.g. the TAD
+        domain-score pattern, SURVEY §3.3) see reference-identical values.
+        Snips are yielded UNFLIPPED with their 'flip' mark, like the
+        reference stream; expected snips (kind='control') follow their ROI
+        snip when expected is used without ooe."""
+        from ..ops.tiles import assemble_window, normalize_tile_stack
+
         groupby = groupby or []
-        self.ignore_group_order = ignore_group_order
-        if nproc is None:
-            nproc = self.nproc
-        if len(self.chroms) == 0:
-            return self.make_outmap(), 0
-        sum_func = partial(sum_pups, extra_funcs=extra_sum_funcs)
+        if control is None:
+            control = self.control
+        if region2 is None:
+            region2 = region1
+        if dev is None:
+            dev = self._stage_region(region1, region2)
 
-        regions1, regions2 = [], []
-        if self.trans:
-            import itertools
-
-            for region1, region2 in itertools.combinations(self.view_df.index, 2):
-                if (
-                    self.view_df.loc[region1, "chrom"]
-                    != self.view_df.loc[region2, "chrom"]
-                ):
-                    regions1.append(region1)
-                    regions2.append(region2)
+        if self.rescale:
+            B = max(64, _next_pow2(self.max_extent_bins))
         else:
-            regions1 = list(self.view_df.index)
-            regions2 = regions1
+            W = self._window_bins()
+            B = max(64, _next_pow2(W))
+        emit_expected = bool(self.expected and not self.ooe)
+        use_expected = bool(self.expected)
+        evec = np.asarray(dev["evec"], dtype=float)
 
-        # flip / group-order resolution (reference coolpup.py:1431–1493)
-        flipby = None
-        if self.flip_negative_strand:
-            flipby = "strand"
-            if self.ignore_group_order:
-                if self.local:
-                    raise ValueError(
-                        "ignore_group_order doesn't make sense for local pileups"
+        region1_coords = tuple(self.view_df.loc[region1])
+        region2_coords = tuple(self.view_df.loc[region2])
+
+        for chunk in self.CC.batches(
+            region1_coords,
+            region2_coords if region2 != region1 else None,
+            control=control,
+            groupby=groupby,
+            modify_2Dintervals_func=modify_2Dintervals_func,
+        ):
+            if postprocess_frame_func is not None:
+                chunk = postprocess_frame_func(chunk)
+            if len(chunk) == 0:
+                continue
+            r1 = (chunk["stBin1"].values - dev["min1"]).astype(np.int64)
+            r2 = (chunk["stBin2"].values - dev["min2"]).astype(np.int64)
+            e1 = (chunk["endBin1"].values - dev["min1"]).astype(np.int64)
+            e2 = (chunk["endBin2"].values - dev["min2"]).astype(np.int64)
+            inb = (r1 >= 0) & (e1 <= dev["n1"]) & (r2 >= 0) & (e2 <= dev["n2"])
+            if not inb.any():
+                continue
+            chunk = chunk.loc[inb].reset_index(drop=True)
+            r1, r2, e1, e2 = r1[inb], r2[inb], e1[inb], e2[inb]
+            h1 = e1 - r1
+            w2 = e2 - r2
+
+            ts = build_tile_stack_slab(
+                dev["slab"], B, r1=r1, r2=r2, window1=h1, window2=w2
+            )
+            ctiles, ntiles = normalize_tile_stack(
+                ts,
+                dev["valid1"],
+                dev["valid2"],
+                evec=dev["evec"],
+                ooe=bool(use_expected and self.ooe),
+                cis=dev["cis"],
+                ignore_diags=int(self.ignore_diags),
+            )
+
+            for i, snip in enumerate(chunk.to_dict("records")):
+                a, b, h, w = int(r1[i]), int(r2[i]), int(h1[i]), int(w2[i])
+                contrib = assemble_window(ctiles, ts.tile_map, B, a, b, h, w)
+                counted = assemble_window(ntiles, ts.tile_map, B, a, b, h, w)
+                # counted pixels carry their value; poison (+inf) pixels keep
+                # the inf; everything else is the reference's NaN
+                snip["data"] = np.where(
+                    (counted > 0) | np.isinf(contrib), contrib, np.nan
+                ).astype(float)
+
+                if self.coverage_norm:
+                    snip["cov_start"] = dev["cov1"][a : a + h].astype(float)
+                    snip["cov_end"] = dev["cov2"][b : b + w].astype(float)
+                else:
+                    snip["cov_start"] = np.zeros(h)
+                    snip["cov_end"] = np.zeros(w)
+
+                exp_snip = None
+                if emit_expected:
+                    exp_snip = dict(snip)
+                    exp_snip["kind"] = "control"
+                    if len(evec) == 1:
+                        exp_data = np.full((h, w), evec[0])
+                    else:
+                        dd = (a - b) + np.arange(h)[:, None] - np.arange(w)[None, :]
+                        exp_data = evec[
+                            np.minimum(np.abs(dd), len(evec) - 1)
+                        ]
+                    exp_snip["data"] = exp_data
+                    exp_snip["coordinates"] = []
+
+                if self.rescale:
+                    snip = self._rescale_snip_host(snip)
+                    if exp_snip is not None:
+                        exp_snip = self._rescale_snip_host(exp_snip)
+
+                if self.store_stripes:
+                    mid = snip["data"].shape[0] // 2
+                    snip["horizontal_stripe"] = np.asarray(
+                        snip["data"][mid, :], dtype=float
                     )
-                if self.kind == "bedpe":
-                    raise ValueError(
-                        "ignore_group_order doesn't make sense for bedpe files"
+                    snip["vertical_stripe"] = np.asarray(
+                        snip["data"][:, mid][::-1], dtype=float
                     )
-                if groupby:
-                    warnings.warn(
-                        "flip_negative_strand and ignore_group_order leads to "
-                        "combining strands, not other groups"
+                    snip["coordinates"] = ".".join(
+                        str(snip[col])
+                        for col in (
+                            "chrom1",
+                            "start1",
+                            "end1",
+                            "chrom2",
+                            "start2",
+                            "end2",
+                        )
                     )
-        elif self.ignore_group_order and groupby:
+                else:
+                    snip["horizontal_stripe"] = []
+                    snip["vertical_stripe"] = []
+                    snip["coordinates"] = []
+                if exp_snip is not None:
+                    exp_snip["horizontal_stripe"] = []
+                    exp_snip["vertical_stripe"] = []
+
+                yield snip
+                if exp_snip is not None:
+                    yield exp_snip
+
+    def _pileup_region_hostpath(
+        self,
+        region1,
+        region2,
+        groupby,
+        modify_2Dintervals_func,
+        postprocess_frame_func,
+        postprocess_snip_func,
+        extra_sum_funcs,
+        dev=None,
+    ):
+        """Per-snip host accumulation over tile-gathered windows — taken when
+        user hooks must see snip data or run per-snip extra accumulators
+        (reference accumulate_stream, coolpup.py:1236–1283)."""
+        outdict = {"ROI": {}, "control": {}}
+        stream = self.stream_snips(
+            region1,
+            region2,
+            groupby=groupby,
+            modify_2Dintervals_func=modify_2Dintervals_func,
+            postprocess_frame_func=postprocess_frame_func,
+            dev=dev,
+        )
+        for snip in stream:
+            if snip.get("flip"):
+                # rot90(flipud(x)) == anti-transpose (reference coolpup.py:131)
+                snip["data"] = np.flip(snip["data"], axis=(0, 1)).T
+            out = (
+                postprocess_snip_func(snip)
+                if postprocess_snip_func is not None
+                else snip
+            )
+            for s in collapse_snips(out):
+                key = (
+                    s["group"]
+                    if isinstance(s["group"], str)
+                    else tuple(s["group"])
+                )
+                _add_snip(outdict[s["kind"]], key, s, extra_funcs=extra_sum_funcs)
+
+        shape = self.make_outmap().shape
+        sum_func = partial(sum_pups, extra_funcs=extra_sum_funcs)
+        if "all" not in outdict["ROI"]:
+            outdict["ROI"]["all"] = dict(
+                reduce(sum_func, outdict["ROI"].values(), empty_pup(shape))
+            )
+        if self.control or (self.expected and not self.ooe):
+            if "all" not in outdict["control"]:
+                outdict["control"]["all"] = dict(
+                    reduce(
+                        sum_func, outdict["control"].values(), empty_pup(shape)
+                    )
+                )
+        if outdict["ROI"]["all"]["n"] > 0:
+            logger.info(f"{region1, region2}: {outdict['ROI']['all']['n']}")
+        return outdict
+
+    # -- the full run (reference coolpup.py:1360–1654) ----------------------
+
+    def _region_pairs(self):
+        """The work decomposition: cis pairs each view region with itself,
+        trans enumerates distinct-chromosome region pairs (reference
+        coolpup.py:1416–1429)."""
+        if not self.trans:
+            return [(r, r) for r in self.view_df.index]
+        import itertools
+
+        chrom_of = self.view_df["chrom"]
+        return [
+            (r1, r2)
+            for r1, r2 in itertools.combinations(self.view_df.index, 2)
+            if chrom_of[r1] != chrom_of[r2]
+        ]
+
+    def _resolve_flipby(self, groupby):
+        """Which paired column base decides snip flipping. Returns a base
+        name ('strand', or a groupby base for ignore_group_order) or None
+        when no flip machinery applies. Encodes the reference's dispatch
+        rules (coolpup.py:1431–1476): strand flipping wins, order-flipping
+        needs a single unambiguous paired base present in groupby, and
+        neither mode makes sense for local or bedpe inputs."""
+        igo = self.ignore_group_order
+
+        def _reject_unflippable():
             if self.local:
                 raise ValueError(
                     "ignore_group_order doesn't make sense for local pileups"
@@ -865,246 +1164,173 @@ class PileUpper:
                 raise ValueError(
                     "ignore_group_order doesn't make sense for bedpe files"
                 )
-            groups = np.array(groupby)
-            filt = [
-                f"{g}1" in groups and f"{g}2" in groups
-                for g in [g[:-1] for g in groups]
-            ]
-            groups_filtered = np.sort(groups[filt])
-            if self.ignore_group_order is True:
-                flipby = list(set(g[:-1] for g in groups_filtered))
-            elif isinstance(self.ignore_group_order, str):
-                flipby = [self.ignore_group_order]
-            elif len(self.ignore_group_order) == 1:
-                flipby = list(self.ignore_group_order)
-            else:
-                flipby = list(set(g[:-1] for g in self.ignore_group_order))
-            if len(flipby) == 1 and f"{flipby[0]}1" in groups_filtered:
-                flipby = flipby[0]
-            else:
-                raise ValueError(
-                    "Ambiguous ignore_group_order, please provide str or list "
-                    "of two strings which are in groupby"
-                )
-        elif self.ignore_group_order and not groupby:
-            warnings.warn("Need to specify groupby for ignore_group_order")
 
-        if self.flip_negative_strand or (self.ignore_group_order and groupby):
-            user_modify = modify_2Dintervals_func
-
-            def modify_final(frame):
-                frame = flip_mark_intervals(
-                    frame, flipby, self.flip_negative_strand
-                )
-                if self.ignore_group_order:
-                    frame = swap_paired_columns_for_flipped(
-                        frame,
-                        exclude_bases=(
-                            "stBin",
-                            "endBin",
-                            "exp_start",
-                            "exp_end",
-                            "chrom",
-                            "start",
-                            "end",
-                            "center",
-                        ),
+        if self.flip_negative_strand:
+            if igo:
+                _reject_unflippable()
+                if groupby:
+                    warnings.warn(
+                        "flip_negative_strand and ignore_group_order leads to "
+                        "combining strands, not other groups"
                     )
-                if user_modify is not None:
-                    frame = user_modify(frame)
-                return frame
-
+            return "strand"
+        if not igo:
+            return None
+        if not groupby:
+            warnings.warn("Need to specify groupby for ignore_group_order")
+            return None
+        _reject_unflippable()
+        paired = {
+            c[:-1] for c in groupby if c.endswith("1") and c[:-1] + "2" in groupby
+        }
+        if igo is True:
+            candidates = sorted(paired)
+        elif isinstance(igo, str):
+            candidates = [igo]
+        elif len(igo) == 1:
+            candidates = list(igo)
         else:
-            modify_final = modify_2Dintervals_func
-
-        # pipeline region ingest (HDF5 -> CSR -> staging) with device compute:
-        # the reference's process pool over regions (coolpup.py:1502–1508)
-        # becomes prefetch threads feeding one accelerator
-        from concurrent.futures import ThreadPoolExecutor
-
-        from ..observability import PhaseTimers, device_trace
-
-        self._timers = timers = PhaseTimers()
-
-        def _ckpt_path(r1, r2):
-            safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", f"{r1}__{r2}")
-            return os.path.join(self.checkpoint_dir, safe + ".pkl")
-
-        def _run_one(r1, r2, dev):
-            # per-region-pair accumulator checkpointing: the natural resume
-            # unit of the decomposition (SURVEY §5)
-            if self.checkpoint_dir:
-                path = _ckpt_path(r1, r2)
-                if os.path.exists(path):
-                    with open(path, "rb") as f:
-                        return pickle.load(f)
-            out = self.pileup_region(
-                r1,
-                r2,
-                groupby=groupby,
-                modify_2Dintervals_func=modify_final,
-                postprocess_frame_func=postprocess_frame_func,
-                extra_sum_funcs=extra_sum_funcs,
-                dev=dev,
-            )
-            if self.checkpoint_dir:
-                os.makedirs(self.checkpoint_dir, exist_ok=True)
-                tmp = _ckpt_path(r1, r2) + ".tmp"
-                with open(tmp, "wb") as f:
-                    pickle.dump(out, f)
-                os.replace(tmp, _ckpt_path(r1, r2))
-            return out
-
-        pairs = list(zip(regions1, regions2))
-        n_prefetch = max(1, min(4, nproc if nproc > 0 else 4))
-        pileups = []
-        with device_trace(self.trace_dir), ThreadPoolExecutor(
-            max_workers=n_prefetch
-        ) as pool:
-            futures = {}
-            for idx, (r1, r2) in enumerate(pairs[:n_prefetch]):
-                futures[idx] = pool.submit(self._stage_region, r1, r2)
-            for idx, (r1, r2) in enumerate(pairs):
-                dev = futures.pop(idx).result()
-                nxt = idx + n_prefetch
-                if nxt < len(pairs):
-                    futures[nxt] = pool.submit(self._stage_region, *pairs[nxt])
-                pileups.append(_run_one(r1, r2, dev))
-        timers.log_summary()
-
-        roi = (
-            pd.DataFrame(
-                [
-                    {k: pd.Series(v) for k, v in pileup["ROI"].items()}
-                    for pileup in pileups
-                ]
-            )
-            .apply(lambda x: reduce(sum_func, x.dropna()))
-            .T
+            candidates = sorted({c[:-1] for c in igo})
+        if len(candidates) == 1 and candidates[0] in paired:
+            return candidates[0]
+        raise ValueError(
+            "Ambiguous ignore_group_order, please provide str or list "
+            "of two strings which are in groupby"
         )
-        have_control = self.control or (self.expected and not self.ooe)
-        if have_control:
-            ctrl = (
-                pd.DataFrame(
-                    [
-                        {k: pd.Series(v) for k, v in pileup["control"].items()}
-                        for pileup in pileups
-                    ]
+
+    def _compose_modify_func(self, flipby, user_func):
+        """Chain flip marking (+ paired-column swap under ignore_group_order)
+        in front of the user's modify_2Dintervals_func."""
+        if flipby is None:
+            return user_func
+
+        def modify(frame):
+            frame = flip_mark_intervals(frame, flipby, self.flip_negative_strand)
+            if self.ignore_group_order:
+                frame = swap_paired_columns_for_flipped(
+                    frame, exclude_bases=_GATHER_BASES
                 )
-                .apply(lambda x: reduce(sum_func, x.dropna()))
-                .T
-            )
+            return frame if user_func is None else user_func(frame)
 
-        # poison pixels (reference: +inf sums from ooe division by zero,
-        # coolpup.py:1154–1156) — restore the inf so downstream algebra and the
-        # final inf→nan replacement behave identically
-        def _apply_poison(table):
-            if "poison" not in table.columns:
-                return table
-            datacol = table.columns.get_loc("data")
-            poiscol = table.columns.get_loc("poison")
-            for i in range(len(table)):
-                pois = table.iat[i, poiscol]
-                if pois is not None and np.any(np.asarray(pois) > 0):
-                    data = table.iat[i, datacol].copy()
-                    data[np.asarray(pois) > 0] = np.inf
-                    table.iat[i, datacol] = data
-            return table
+        return modify
 
-        roi = _apply_poison(roi)
-        if have_control:
-            ctrl = _apply_poison(ctrl)
+    @staticmethod
+    def _combine_region_maps(maps, sum_func):
+        """Fold per-region {group: pup} maps into one — the sum_pups monoid
+        across regions in first-appearance group order (driver-side analog of
+        the psum reduction in parallel/mesh.py)."""
+        combined = {}
+        for m in maps:
+            for group, pup in m.items():
+                if group in combined:
+                    combined[group] = dict(sum_func(combined[group], pup))
+                else:
+                    combined[group] = dict(pup)
+        return combined
+
+    @staticmethod
+    def _poison_to_inf(pup):
+        """Re-materialize +inf at pixels whose OOE division hit expected == 0:
+        the reference accumulates the inf directly (coolpup.py:1154–1156);
+        the device kernels track those pixels in a side 'poison' plane so the
+        accumulator stays finite-summable."""
+        pois = pup.get("poison")
+        if pois is not None:
+            hot = np.asarray(pois) > 0
+            if hot.any():
+                data = np.array(pup["data"], dtype=float, copy=True)
+                data[hot] = np.inf
+                pup["data"] = data
+        return pup
+
+    def _finalize_table(self, roi, ctrl, groupby, extra_keys=()):
+        """Plain dict/array normalization of combined accumulators into the
+        output DataFrame: per-pixel mean, control/expected division, inf
+        cleanup, stripe packaging, local symmetrization, groupby columns
+        (semantics of reference coolpup.py:1533–1625)."""
+        have_control = ctrl is not None
 
         if self.coverage_norm:
-            roi = roi.apply(norm_coverage, axis=1)
+            for pup in roi.values():
+                norm_coverage(pup)
             if self.control:
-                ctrl = ctrl.apply(norm_coverage, axis=1)
+                for pup in ctrl.values():
+                    norm_coverage(pup)
             elif self.expected:
                 warnings.warn(
                     "Expected can not be normalized to coverage", stacklevel=2
                 )
-        normalized_roi = pd.DataFrame(roi["data"] / roi["num"], columns=["data"])
-        if have_control:
-            normalized_control = pd.DataFrame(
-                ctrl["data"] / ctrl["num"], columns=["data"]
-            )
-            normalized_roi = normalized_roi / normalized_control
-            normalized_roi["control_n"] = ctrl["n"]
-            normalized_roi["control_num"] = ctrl["num"]
 
-        normalized_roi["data"] = normalized_roi["data"].apply(
-            lambda x: np.where(x == np.inf, np.nan, x)
-        )
-        normalized_roi["n"] = roi["n"]
-        normalized_roi["num"] = roi["num"]
+        ctrl_h = ctrl_v = None
+        if self.store_stripes and have_control:
+            c_all = ctrl["all"]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c_norm = c_all["data"] / c_all["num"]
+            mid = c_norm.shape[0] // 2
+            ctrl_h = np.asarray(c_norm[mid, :], dtype=float)
+            ctrl_v = np.asarray(c_norm[:, mid][::-1], dtype=float)
 
-        if self.store_stripes:
-            from ..lib import numutils as _numutils
-
-            normalized_roi["coordinates"] = roi["coordinates"]
-            normalized_roi["coordinates"] = [
-                [x.split(".") for x in y] for y in normalized_roi["coordinates"]
-            ]
-            normalized_roi["horizontal_stripe"] = roi["horizontal_stripe"]
-            normalized_roi["vertical_stripe"] = roi["vertical_stripe"]
-            if have_control:
-                cntr = int(
-                    np.floor(normalized_control["data"]["all"].shape[0] / 2)
-                )
-                control_h = np.array(
-                    normalized_control["data"]["all"][cntr, :], dtype=float
-                )
-                control_v = np.array(
-                    normalized_control["data"]["all"][:, cntr][::-1], dtype=float
-                )
-                normalized_roi["horizontal_stripe"] = normalized_roi.apply(
-                    lambda row: np.divide(row["horizontal_stripe"], control_h),
-                    axis=1,
-                )
-                normalized_roi["vertical_stripe"] = normalized_roi.apply(
-                    lambda row: np.divide(row["vertical_stripe"], control_v),
-                    axis=1,
-                )
-            normalized_roi["vertical_stripe"] = normalized_roi[
-                "vertical_stripe"
-            ].apply(np.vstack)
-            normalized_roi["horizontal_stripe"] = normalized_roi[
-                "horizontal_stripe"
-            ].apply(np.vstack)
-            normalized_roi["coordinates"] = normalized_roi["coordinates"].apply(
-                np.vstack
-            )
+        rows = []
+        for group, pup in roi.items():
+            row = {}
+            with np.errstate(divide="ignore", invalid="ignore"):
+                data = pup["data"] / pup["num"]
+                if have_control:
+                    cpup = ctrl.get(group)
+                    if cpup is not None:
+                        data = data / (cpup["data"] / cpup["num"])
+                        row["control_n"] = cpup["n"]
+                        row["control_num"] = cpup["num"]
+                    else:
+                        data = np.full_like(np.asarray(data, float), np.nan)
+                        row["control_n"] = np.nan
+                        row["control_num"] = np.nan
+            data = np.where(np.isposinf(data), np.nan, data)
             if self.local:
-                normalized_roi["vertical_stripe"] = normalized_roi[
-                    "vertical_stripe"
-                ].apply(_numutils._copy_array_halves)
-                normalized_roi["horizontal_stripe"] = normalized_roi[
-                    "horizontal_stripe"
-                ].apply(_numutils._copy_array_halves)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", category=RuntimeWarning)
+                    data = np.nanmean(np.dstack((data, data.T)), 2)
+            row["data"] = data
+            row["n"] = pup["n"]
+            row["num"] = pup["num"]
 
-        if self.local:
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", category=RuntimeWarning)
-                normalized_roi["data"] = normalized_roi["data"].apply(
-                    lambda x: np.nanmean(np.dstack((x, x.T)), 2)
-                )
-        n = normalized_roi.loc["all", "n"]
-        normalized_roi = normalized_roi.reset_index().rename(
-            columns={"index": "group"}
-        )
+            if self.store_stripes:
+                coords = [str(c).split(".") for c in pup["coordinates"]]
+                row["coordinates"] = np.vstack(coords)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for name, stack, cstripe in (
+                        ("horizontal_stripe", pup["horizontal_stripe"], ctrl_h),
+                        ("vertical_stripe", pup["vertical_stripe"], ctrl_v),
+                    ):
+                        stripes = np.vstack(stack)
+                        if cstripe is not None:
+                            stripes = stripes / cstripe
+                        if self.local:
+                            stripes = _copy_array_halves(stripes)
+                        row[name] = stripes
+
+            for key in extra_keys:
+                row[key] = pup.get(key)
+                if self.control:
+                    row[f"control_{key}"] = (ctrl.get(group) or {}).get(key)
+
+            row["group"] = group
+            rows.append(row)
+
+        table = pd.DataFrame(rows)
+        table.insert(0, "group", table.pop("group"))
         if groupby:
-            normalized_roi[groupby] = pd.DataFrame(
-                [
-                    ("all",) * len(groupby) if i == "all" else i
-                    for i in normalized_roi["group"].to_list()
-                ],
-                columns=groupby,
-            )
-            for val in groupby:
-                normalized_roi.insert(0, val, normalized_roi.pop(val))
-        logger.info(f"Total number of piled up windows: {int(n)}")
+            labels = [
+                ("all",) * len(groupby) if g == "all" else tuple(g)
+                for g in table["group"]
+            ]
+            for pos, col in enumerate(groupby):
+                table.insert(0, col, [lab[pos] for lab in labels])
+        return table
 
-        # annotation columns (reference coolpup.py:1628–1654)
+    def _annotation(self):
+        """Run-parameter provenance columns (reference coolpup.py:1628–1654
+        flushes __dict__; here the set is explicit)."""
         annot = {
             "clr": os.path.abspath(self.clr.filename),
             "resolution": self.resolution,
@@ -1135,88 +1361,205 @@ class PileUpper:
             "seed": self.seed,
             "ignore_group_order": self.ignore_group_order,
         }
-        for name, attr in annot.items():
-            if isinstance(attr, list):
-                attr = str(attr)
-            normalized_roi[name] = [attr] * len(normalized_roi)
-        return normalized_roi
+        return {
+            k: (str(v) if isinstance(v, list) else v) for k, v in annot.items()
+        }
+
+    def pileupsWithControl(
+        self,
+        nproc=None,
+        groupby=None,
+        ignore_group_order=False,
+        modify_2Dintervals_func=None,
+        postprocess_frame_func=None,
+        postprocess_snip_func=None,
+        extra_sum_funcs=None,
+    ):
+        """Run the full pileup over every region pair and normalize
+        (reference coolpup.py:1360–1654 counterpart).
+
+        Extension hooks (reference coolpup.py:1261–1283, lib/puputils.py:39–41):
+        ``modify_2Dintervals_func`` / ``postprocess_frame_func`` transform
+        vectorized snip frames before gathering; ``postprocess_snip_func``
+        sees each snip dict WITH its gathered data (may return one snip, a
+        list, or a generator) and ``extra_sum_funcs`` accumulates extra
+        per-snip values into output columns — providing either of the last
+        two routes the affected regions through the per-snip host path
+        (stream_snips)."""
+        groupby = groupby or []
+        self.ignore_group_order = ignore_group_order
+        if nproc is None:
+            nproc = self.nproc
+        if len(self.chroms) == 0:
+            return self.make_outmap(), 0
+
+        flipby = self._resolve_flipby(groupby)
+        modify_final = self._compose_modify_func(flipby, modify_2Dintervals_func)
+
+        # pipeline region ingest (HDF5 -> CSR -> staging) with device compute:
+        # the reference's process pool over regions (coolpup.py:1502–1508)
+        # becomes prefetch threads feeding one accelerator
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..observability import PhaseTimers, device_trace
+
+        self._timers = timers = PhaseTimers()
+
+        def _ckpt_path(r1, r2):
+            safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", f"{r1}__{r2}")
+            return os.path.join(self.checkpoint_dir, safe + ".pkl")
+
+        def _run_one(r1, r2, dev):
+            # per-region-pair accumulator checkpointing: the natural resume
+            # unit of the decomposition (SURVEY §5)
+            if self.checkpoint_dir:
+                path = _ckpt_path(r1, r2)
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        return pickle.load(f)
+            out = self.pileup_region(
+                r1,
+                r2,
+                groupby=groupby,
+                modify_2Dintervals_func=modify_final,
+                postprocess_frame_func=postprocess_frame_func,
+                postprocess_snip_func=postprocess_snip_func,
+                extra_sum_funcs=extra_sum_funcs,
+                dev=dev,
+            )
+            if self.checkpoint_dir:
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                tmp = _ckpt_path(r1, r2) + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(out, f)
+                os.replace(tmp, _ckpt_path(r1, r2))
+            return out
+
+        pairs = self._region_pairs()
+        multihost = False
+        if self.mesh is not None:
+            import jax
+
+            multihost = jax.process_count() > 1
+        if multihost:
+            # DCN axis: each host piles up its share of region pairs; local
+            # results are exchanged after the loop (parallel/distributed.py)
+            from ..parallel.distributed import local_region_pairs
+
+            pairs = local_region_pairs(pairs)
+        n_prefetch = max(1, min(4, nproc if nproc > 0 else 4))
+        pileups = []
+        with device_trace(self.trace_dir), ThreadPoolExecutor(
+            max_workers=n_prefetch
+        ) as pool:
+            futures = {}
+            for idx, (r1, r2) in enumerate(pairs[:n_prefetch]):
+                futures[idx] = pool.submit(self._stage_region, r1, r2)
+            for idx, (r1, r2) in enumerate(pairs):
+                dev = futures.pop(idx).result()
+                nxt = idx + n_prefetch
+                if nxt < len(pairs):
+                    futures[nxt] = pool.submit(self._stage_region, *pairs[nxt])
+                pileups.append(_run_one(r1, r2, dev))
+        timers.log_summary()
+
+        if multihost:
+            from ..parallel.distributed import allreduce_region_maps
+
+            pileups = allreduce_region_maps(pileups)
+
+        sum_func = partial(sum_pups, extra_funcs=extra_sum_funcs)
+        roi = self._combine_region_maps((p["ROI"] for p in pileups), sum_func)
+        ctrl = None
+        if self.control or (self.expected and not self.ooe):
+            ctrl = self._combine_region_maps(
+                (p["control"] for p in pileups), sum_func
+            )
+        for pup in roi.values():
+            self._poison_to_inf(pup)
+        if ctrl is not None:
+            for pup in ctrl.values():
+                self._poison_to_inf(pup)
+
+        table = self._finalize_table(
+            roi, ctrl, groupby, extra_keys=tuple(extra_sum_funcs or ())
+        )
+        logger.info(
+            f"Total number of piled up windows: {int(roi['all']['n'])}"
+        )
+        for name, value in self._annotation().items():
+            table[name] = [value] * len(table)
+        return table
 
     # -- grouped wrappers (reference coolpup.py:1656–1919) ------------------
 
     def pileupsByStrandWithControl(
         self, nproc=None, groupby=None, ignore_group_order=False
     ):
-        groupby = groupby or []
-        normalized_pileups = self.pileupsWithControl(
+        """Group by strand pair; adds the 'orientation' label column
+        (reference coolpup.py:1656–1694)."""
+        pups = self.pileupsWithControl(
             nproc=nproc,
-            groupby=["strand1", "strand2"] + groupby,
+            groupby=["strand1", "strand2"] + list(groupby or []),
             ignore_group_order=ignore_group_order,
         )
-        normalized_pileups.insert(
-            0,
-            "orientation",
-            (
-                normalized_pileups["strand1"] + normalized_pileups["strand2"]
-            ).replace({"allall": "all"}),
-        )
-        return normalized_pileups
+        pups.insert(0, "orientation", _orientation_labels(pups))
+        return pups
 
     def pileupsByWindowWithControl(self, nproc=None):
+        """One pup per anchor window: every snip contributes to both of its
+        anchors' groups (reference coolpup.py:1696–1756)."""
         if self.local:
             raise ValueError("Cannot do by-window pileups for local")
-        normalized_pileups = self.pileupsWithControl(
+        pups = self.pileupsWithControl(
             nproc=nproc, postprocess_frame_func=group_by_region_frame
         )
-        groups = normalized_pileups["group"]
-        coords = pd.DataFrame(
-            [
-                ("all", -1, -1) if g == "all" else tuple(g)
-                for g in groups.to_list()
-            ],
-            index=normalized_pileups.index,
-            columns=["chrom", "start", "end"],
-        )
-        normalized_pileups = pd.concat(
-            [coords, normalized_pileups], axis=1
-        ).drop(columns="group")
-        normalized_pileups[["start", "end"]] = normalized_pileups[
-            ["start", "end"]
-        ].astype(int)
-        normalized_pileups = sort_bedframe(
-            normalized_pileups, view_df=self.view_df.reset_index()
-        )
-        return normalized_pileups
+        anchors = [
+            ("all", -1, -1) if g == "all" else tuple(g) for g in pups["group"]
+        ]
+        pups = pups.drop(columns="group")
+        pups.insert(0, "end", np.array([a[2] for a in anchors], dtype=int))
+        pups.insert(0, "start", np.array([a[1] for a in anchors], dtype=int))
+        pups.insert(0, "chrom", [a[0] for a in anchors])
+        return sort_bedframe(pups, view_df=self.view_df.reset_index())
 
     def _resolve_distance_edges(self, distance_edges):
-        if not (isinstance(distance_edges, str) and distance_edges == "default"):
-            if not all(isinstance(n, (int, np.integer)) for n in distance_edges):
-                raise ValueError("Distance edges must be integers")
-            distance_edges = list(np.sort(distance_edges))
-            for _ in range(len(distance_edges)):
-                if np.min(distance_edges) < self.mindist:
-                    distance_edges[int(np.argmin(distance_edges))] = self.mindist
-                else:
-                    break
-        return distance_edges
+        """Validate user edges; separations below the engine's minimum
+        snappable distance collapse onto mindist (reference
+        coolpup.py:1770–1785)."""
+        if isinstance(distance_edges, str) and distance_edges == "default":
+            return "default"
+        if not all(isinstance(n, (int, np.integer)) for n in distance_edges):
+            raise ValueError("Distance edges must be integers")
+        edges = np.sort(np.asarray(distance_edges))
+        return list(np.maximum(edges, self.mindist))
 
-    @staticmethod
-    def _format_separation(pups):
+    def _pileups_binned_by_distance(
+        self, nproc, distance_edges, groupby, ignore_group_order, sort_cols
+    ):
+        """Shared by-distance machinery: annotate bands at the frame level,
+        group on them, drop out-of-band rows, label separations, order rows
+        with 'all' last."""
+        edges = self._resolve_distance_edges(distance_edges)
+        pups = self.pileupsWithControl(
+            nproc=nproc,
+            modify_2Dintervals_func=partial(
+                bin_distance_intervals, band_edges=edges
+            ),
+            groupby=groupby,
+            ignore_group_order=ignore_group_order,
+        )
+        if "orientation" in sort_cols:
+            pups.insert(0, "orientation", _orientation_labels(pups))
+        pups = pups[pups["distance_band"] != ()].reset_index(drop=True)
         pups.insert(
             0,
             "separation",
-            pups["distance_band"].apply(
-                lambda x: (
-                    x
-                    if x == "all"
-                    else (
-                        f"{x[0]/1000000}Mb-\n{x[1]/1000000}Mb"
-                        if len(x) == 2
-                        else f"{x[0]/1000000}Mb+"
-                    )
-                )
-            ),
+            [_separation_label(band) for band in pups["distance_band"]],
         )
-        return pups
+        is_all = (pups["separation"] == "all").values
+        body = pups.loc[~is_all].sort_values(sort_cols)
+        return pd.concat([body, pups.loc[is_all]], ignore_index=True)
 
     def pileupsByDistanceWithControl(
         self,
@@ -1225,27 +1568,18 @@ class PileUpper:
         groupby=None,
         ignore_group_order=False,
     ):
-        groupby = groupby or []
+        """Group by distance band (reference coolpup.py:1757–1833)."""
         if self.trans:
             raise ValueError("Cannot do by-distance pileups for trans")
         if self.local:
             raise ValueError("Cannot do by-distance pileups for local")
-        distance_edges = self._resolve_distance_edges(distance_edges)
-        bin_func = partial(bin_distance_intervals, band_edges=distance_edges)
-        pups = self.pileupsWithControl(
-            nproc=nproc,
-            modify_2Dintervals_func=bin_func,
-            groupby=["distance_band"] + groupby,
-            ignore_group_order=ignore_group_order,
+        return self._pileups_binned_by_distance(
+            nproc,
+            distance_edges,
+            ["distance_band"] + list(groupby or []),
+            ignore_group_order,
+            sort_cols=["distance_band"],
         )
-        pups = pups.loc[pups["distance_band"] != ()].reset_index(drop=True)
-        pups = self._format_separation(pups)
-        i = np.where(pups["separation"] == "all")[0]
-        pups = pd.concat(
-            [pups.drop(i).sort_values("distance_band"), pups.iloc[i, :]],
-            ignore_index=True,
-        ).reset_index(drop=True)
-        return pups
 
     def pileupsByStrandByDistanceWithControl(
         self,
@@ -1254,33 +1588,17 @@ class PileUpper:
         groupby=None,
         ignore_group_order=False,
     ):
-        groupby = groupby or []
+        """Group by strand pair × distance band (reference
+        coolpup.py:1835–1919)."""
         if self.trans:
             raise ValueError("Cannot do by-distance pileups for trans")
-        distance_edges = self._resolve_distance_edges(distance_edges)
-        bin_func = partial(bin_distance_intervals, band_edges=distance_edges)
-        pups = self.pileupsWithControl(
-            nproc=nproc,
-            modify_2Dintervals_func=bin_func,
-            groupby=["strand1", "strand2", "distance_band"] + groupby,
-            ignore_group_order=ignore_group_order,
+        return self._pileups_binned_by_distance(
+            nproc,
+            distance_edges,
+            ["strand1", "strand2", "distance_band"] + list(groupby or []),
+            ignore_group_order,
+            sort_cols=["orientation", "distance_band"],
         )
-        pups.insert(
-            0,
-            "orientation",
-            (pups["strand1"] + pups["strand2"]).replace({"allall": "all"}),
-        )
-        pups = pups.loc[pups["distance_band"] != ()].reset_index(drop=True)
-        pups = self._format_separation(pups)
-        i = np.where(pups["separation"] == "all")[0]
-        pups = pd.concat(
-            [
-                pups.drop(i).sort_values(["orientation", "distance_band"]),
-                pups.iloc[i, :],
-            ],
-            ignore_index=True,
-        ).reset_index(drop=True)
-        return pups
 
 
 def pileup(
@@ -1315,8 +1633,12 @@ def pileup(
     store_stripes=False,
     nproc=1,
     seed=None,
+    mesh=None,
 ):
-    """One-shot pileup API (reference coolpup.py:1922–2279; same parameters)."""
+    """One-shot pileup API (reference coolpup.py:1922–2279; same parameters,
+    plus ``mesh``: a jax.sharding.Mesh with a "loci" axis — or "auto" — to
+    shard every region's snip stream across devices, psum-reducing the
+    accumulators over ICI)."""
     groupby = groupby or []
     distance_edges = "default"
     if by_distance is not False:
@@ -1417,15 +1739,13 @@ def pileup(
         ignore_diags=min_diag,
         store_stripes=store_stripes,
         nproc=nproc,
+        mesh=mesh,
     )
 
     if by_window:
-        pups = PU.pileupsByWindowWithControl()
-        pups["by_window"] = True
-        pups["by_strand"] = False
-        pups["by_distance"] = False
         if groupby:
             warnings.warn("by-window not compatible with additional groupby")
+        pups = PU.pileupsByWindowWithControl(nproc=nproc)
     elif by_strand and by_distance:
         pups = PU.pileupsByStrandByDistanceWithControl(
             nproc=nproc,
@@ -1433,16 +1753,10 @@ def pileup(
             groupby=groupby,
             ignore_group_order=ignore_group_order,
         )
-        pups["by_window"] = False
-        pups["by_strand"] = True
-        pups["by_distance"] = True
     elif by_strand:
         pups = PU.pileupsByStrandWithControl(
-            groupby=groupby, ignore_group_order=ignore_group_order
+            nproc=nproc, groupby=groupby, ignore_group_order=ignore_group_order
         )
-        pups["by_window"] = False
-        pups["by_strand"] = True
-        pups["by_distance"] = False
     elif by_distance:
         pups = PU.pileupsByDistanceWithControl(
             nproc=nproc,
@@ -1450,18 +1764,14 @@ def pileup(
             groupby=groupby,
             ignore_group_order=ignore_group_order,
         )
-        pups["by_window"] = False
-        pups["by_strand"] = False
-        pups["by_distance"] = True
     else:
         pups = PU.pileupsWithControl(
-            groupby=groupby, ignore_group_order=ignore_group_order
+            nproc=nproc, groupby=groupby, ignore_group_order=ignore_group_order
         )
-        pups["by_window"] = False
-        pups["by_strand"] = False
-        pups["by_distance"] = False
-    pups["groupby"] = [groupby] * pups.shape[0]
+    pups["by_window"] = bool(by_window)
+    pups["by_strand"] = bool(by_strand) and not by_window
+    pups["by_distance"] = bool(by_distance) and not by_window
+    pups["groupby"] = [groupby] * len(pups)
     pups["expected"] = pups["expected"].fillna(False)
-    coolname = os.path.splitext(os.path.basename(clr.filename))[0]
-    pups["cooler"] = coolname
+    pups["cooler"] = os.path.splitext(os.path.basename(clr.filename))[0]
     return pups

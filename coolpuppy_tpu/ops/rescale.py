@@ -107,7 +107,14 @@ def area_resize_host(arr, out_shape):
 
 @lru_cache(maxsize=32)
 def make_rescale_step(cfg: RescaleConfig):
-    """Jitted fused step for the rescale path. Signature like
+    """Jitted fused step for the rescale path (see make_rescale_step_fn)."""
+    return jax.jit(make_rescale_step_fn(cfg))
+
+
+@lru_cache(maxsize=32)
+def make_rescale_step_fn(cfg: RescaleConfig):
+    """Raw (unjitted) fused rescale step — jit directly for single-chip use
+    or wrap in shard_map for multi-chip (parallel/mesh.py). Signature like
     make_pileup_step plus per-snip logical sizes h1, w2."""
     R, H, C = cfg.R, cfg.Hmax, cfg.capacity
     nblocks = cfg.S // cfg.block
@@ -250,4 +257,4 @@ def make_rescale_step(cfg: RescaleConfig):
             out["vertical_stripe"] = v.reshape(cfg.S, R)
         return out
 
-    return jax.jit(step)
+    return step

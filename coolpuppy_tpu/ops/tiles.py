@@ -224,10 +224,14 @@ def normalize_tile_stack(
     tc[ts.tile_map[grid_r, grid_c]] = grid_c
 
     n1, n2 = ts.shape
+    # callers may pass valid vectors padded beyond the tiled extent (the
+    # engine pow2-pads them); bins past the tile grid are unreachable, clip
     v1 = np.zeros(((n1 + 2 * B - 1) // B) * B + B, np.float32)
-    v1[: len(valid1)] = valid1
+    m1 = min(len(valid1), len(v1))
+    v1[:m1] = np.asarray(valid1, np.float32)[:m1]
     v2 = np.zeros(((n2 + 2 * B - 1) // B) * B + B, np.float32)
-    v2[: len(valid2)] = valid2
+    m2 = min(len(valid2), len(v2))
+    v2[:m2] = np.asarray(valid2, np.float32)[:m2]
 
     ar = np.arange(B)
     rows = tr[:, None] * B + ar[None, :]  # [K1, B]

@@ -21,7 +21,7 @@ f32 summation order.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +65,71 @@ def make_mesh(devices=None, regions_axis=None):
         regions_axis, loci_axis
     )
     return Mesh(arr, ("regions", "loci"))
+
+
+def make_loci_mesh(devices=None):
+    """1D mesh with a single "loci" axis over all devices — the production
+    engine's snip-stream sharding axis (PileUpper(mesh=...)): every device
+    holds the region's full tile stack (regions are small: block-sparse,
+    bounded by touched windows) and gathers/accumulates its shard of the snip
+    stream; accumulators psum over ICI."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("loci",))
+
+
+@lru_cache(maxsize=64)
+def make_engine_sharded_step(cfg: GatherConfig, mesh: Mesh):
+    """shard_map of the fused pile-up step over the "loci" axis for the
+    PRODUCTION engine (PileUpper._device_accumulate): per-region tile stack /
+    valid / expected / coverage inputs are replicated, the snip index arrays
+    [S_global = cfg.S * n_loci] are sharded, and the fixed-shape accumulators
+    are psum-ed over the axis — the collective counterpart of the reference's
+    driver-side ``reduce(sum_pups, …)`` (reference coolpup.py:1502–1531),
+    riding ICI and overlapped with gather compute by XLA.
+
+    Per-snip stripe planes (cfg.stripes) are returned sharded (each device
+    computed its shard); out_spec P("loci") reassembles the global [S, W]
+    arrays without replication."""
+    return _shard_engine_step(make_pileup_step_fn(cfg), cfg, mesh, n_snip_args=5)
+
+
+@lru_cache(maxsize=64)
+def make_engine_sharded_rescale_step(cfg, mesh: Mesh):
+    """Loci-sharded twin of the rescale step (extra h1/w2 snip arrays)."""
+    from ..ops.rescale import make_rescale_step_fn
+
+    return _shard_engine_step(make_rescale_step_fn(cfg), cfg, mesh, n_snip_args=7)
+
+
+def _shard_engine_step(step, cfg, mesh, n_snip_args):
+    """Common shard_map plumbing: 8 leading per-region args replicated,
+    trailing ``n_snip_args`` snip arrays sharded over "loci", accumulators
+    psum-ed, per-snip stripe planes left sharded."""
+    acc_keys = (
+        ["sum", "num", "poison"]
+        + (["exp_sum", "exp_num"] if cfg.emit_expected else [])
+        + (["cov_start", "cov_end"] if cfg.coverage else [])
+    )
+
+    def local_step(*args):
+        out = step(*args)
+        for k in acc_keys:
+            out[k] = jax.lax.psum(out[k], "loci")
+        return out
+
+    rep = P()
+    shard = P("loci")
+    out_specs = {k: rep for k in acc_keys}
+    if cfg.stripes:
+        out_specs["horizontal_stripe"] = shard
+        out_specs["vertical_stripe"] = shard
+    sharded = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(rep,) * 8 + (shard,) * n_snip_args,
+        out_specs=out_specs,
+    )
+    return jax.jit(sharded)
 
 
 def make_sharded_pileup_step(cfg: GatherConfig, mesh: Mesh):
