@@ -229,6 +229,202 @@ def bench_engine(n_sites=20_000, binsize=10_000, maxdist=2_000_000, seed=0):
     return n_snips / wall, wall, n_snips
 
 
+def _bench_cooler(binsize=10_000, n_bins=20_000, seed=0, path="/tmp/bench_engine.cool"):
+    """Synthetic 200 Mb chromosome cooler shared by the engine-level benches."""
+    import os
+
+    from coolpuppy_tpu.io import Cooler, write_cool
+
+    rng = np.random.default_rng(seed)
+    if not os.path.exists(path):
+        d = rng.zipf(1.35, 24_000_000)
+        d = d[d < n_bins][:12_000_000]
+        i = rng.integers(0, n_bins, len(d))
+        j = np.minimum(i + d, n_bins - 1)
+        vals = rng.poisson(3.0, len(d)) + 1
+        keep = i <= j
+        weights = rng.uniform(0.5, 1.5, n_bins)
+        weights[rng.random(n_bins) < 0.03] = np.nan
+        write_cool(
+            path,
+            {"chr1": n_bins * binsize},
+            binsize,
+            (i[keep], j[keep], vals[keep]),
+            weights=weights,
+        )
+    return Cooler(path)
+
+
+def bench_rescale(n_tads=2_000, rescale_size=99, seed=0, ref_n=200):
+    """Rescaled-TAD workload (BASELINE's 99x99 local rescaled pileup): engine
+    throughput on variable-extent TADs (20–200 bins), vs the reference-style
+    per-snip host loop (CSR slice + NaN-aware resize)."""
+    import pandas as pd
+
+    from coolpuppy_tpu import pileup
+
+    clr = _bench_cooler()
+    binsize = clr.binsize
+    n_bins = clr.n_bins
+    rng = np.random.default_rng(seed)
+    starts = np.sort(
+        rng.choice(np.arange(100, n_bins - 300), n_tads, replace=False)
+    ) * binsize
+    widths = rng.integers(20, 200, n_tads) * binsize
+    feats = pd.DataFrame(
+        {"chrom": "chr1", "start": starts, "end": starts + widths}
+    )
+    t0 = time.time()
+    pup = pileup(
+        clr,
+        feats,
+        features_format="bed",
+        local=True,
+        rescale=True,
+        rescale_flank=1,
+        rescale_size=rescale_size,
+        mindist=0,
+        seed=0,
+    )
+    wall = time.time() - t0
+    n_snips = int(pup.loc[pup["group"] == "all", "n"].iloc[0])
+
+    # reference-style loop: CSR slice -> dense, bad-bin NaN, diag mask,
+    # symmetrize, NaN-aware resize (reference coolpup.py:1104–1234)
+    from coolpuppy_tpu.ops.rescale import area_resize_host
+
+    csr = clr.fetch_coo("chr1", balance="weight").tocsr()
+    isnan = clr.bad_bin_mask("chr1")
+    t0 = time.time()
+    for k in range(min(ref_n, n_tads)):
+        a = int(starts[k] // binsize)
+        w = int(widths[k] // binsize)
+        pad = w  # rescale_flank=1
+        lo, hi = a - pad, a + w + pad
+        if lo < 0 or hi > n_bins:
+            continue
+        data = csr[lo:hi, lo:hi].toarray().astype(float)
+        data[isnan[lo:hi], :] = np.nan
+        data[:, isnan[lo:hi]] = np.nan
+        ii, jj = np.meshgrid(np.arange(hi - lo), np.arange(hi - lo), indexing="ij")
+        data[np.abs(ii - jj) < 2] = np.nan
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            data = np.nanmean(np.dstack((data, data.T)), 2)
+        nans = np.isnan(data).astype(float)
+        rs = area_resize_host(np.nan_to_num(data), (rescale_size, rescale_size))
+        nz = area_resize_host(nans, (rescale_size, rescale_size))
+        rs[np.ceil(nz).astype(bool)] = np.nan
+    ref_rate = min(ref_n, n_tads) / (time.time() - t0)
+    return n_snips / wall, wall, n_snips, ref_rate
+
+
+def bench_modes(n_sites=20_000, maxdist=2_000_000, seed=0):
+    """Engine throughput of the previously-XLA-only modes (stripes,
+    coverage_norm) relative to the plain run — the round-1 mode cliff."""
+    import pandas as pd
+
+    from coolpuppy_tpu import pileup
+
+    clr = _bench_cooler()
+    binsize = clr.binsize
+    length = clr.n_bins * binsize
+    rng = np.random.default_rng(seed)
+    starts = np.sort(rng.choice(length - 10_000, n_sites, replace=False))
+    feats = pd.DataFrame(
+        {
+            "chrom": "chr1",
+            "start": starts,
+            "end": starts + 1_000,
+            "name": ".",
+            "score": 0,
+            "strand": rng.choice(["+", "-"], n_sites),
+        }
+    )
+
+    def run(**kw):
+        t0 = time.time()
+        pup = pileup(
+            clr,
+            feats,
+            features_format="bed",
+            flank=100_000,
+            maxdist=maxdist,
+            seed=0,
+            **kw,
+        )
+        wall = time.time() - t0
+        n = int(pup.loc[pup["group"] == "all", "n"].iloc[0])
+        return n / wall, n
+
+    plain, n1 = run()
+    stripes, _ = run(store_stripes=True)
+    covnorm, _ = run(coverage_norm=True, clr_weight_name=None)
+    return {"plain": plain, "stripes": stripes, "coverage_norm": covnorm,
+            "snips": n1}
+
+
+def bench_scaling(n_loci=262_144, W=21, seed=0):
+    """Scaling efficiency of the loci-sharded engine step over 1/2/4/8
+    devices (virtual CPU mesh in this environment; on hardware the same
+    shard_map rides ICI). Fixed global workload, best-of-3."""
+    import jax
+
+    from coolpuppy_tpu.ops.gather import GatherConfig
+    from coolpuppy_tpu.parallel.mesh import (
+        make_engine_sharded_step,
+        make_loci_mesh,
+    )
+
+    csr, coo, r1, r2, gid, flip, valid, evec = make_workload(
+        n_loci=n_loci, W=W, seed=seed
+    )
+    from coolpuppy_tpu.ops.tiles import build_tile_stack
+
+    B = 64
+    ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+    n_bins = csr.shape[0]
+    pad = 1 << int(np.ceil(np.log2(n_bins + B)))
+    validp = np.zeros(pad, np.float32)
+    validp[:n_bins] = valid
+    evecp = np.full(pad, np.nan, np.float32)
+    evecp[:n_bins] = evec
+    cov = np.zeros(8, np.float32)
+    dd0 = (r1 - r2).astype(np.int32)
+    sm = np.ones(n_loci, bool)
+    ncolp = np.int32(ts.tile_map.shape[1])
+    tmap = ts.tile_map.ravel()
+
+    devices = jax.devices()
+    rates = {}
+    sizes = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    for n in sizes:
+        mesh = make_loci_mesh(devices[:n])
+        cfg = GatherConfig(
+            W=W, B=B, S=n_loci // n, block=min(1024, n_loci // n),
+            capacity=8, cis=True, ignore_diags=2, ooe=True,
+            emit_expected=False, coverage=False, stripes=False,
+        )
+        step = make_engine_sharded_step(cfg, mesh)
+        args = (ts.tiles, tmap, ncolp, evecp, validp, validp, cov, cov,
+                r1, r2, dd0, gid, sm)
+        jax.block_until_ready(step(*args))  # compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(step(*args))
+            best = min(best, time.time() - t0)
+        rates[n] = n_loci / best
+    # virtual CPU devices share one host's cores (total compute is FIXED), so
+    # the measurable quantity is throughput RETENTION under n-way sharding:
+    # 1 - (collective + partitioning overhead). On real chips, per-device
+    # compute multiplies by n on top of this retention.
+    retention = {n: rates[n] / rates[1] for n in sizes}
+    return rates, retention
+
+
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
     """The reference's per-snip hot loop (coolpup.py:1104–1191): CSR slice ->
     dense, NaN bad rows/cols, diag mask, ooe divide, nansum-accumulate."""
@@ -268,13 +464,121 @@ def main():
         action="store_true",
         help="benchmark the full pileup() pipeline instead of the kernel",
     )
+    ap.add_argument(
+        "--rescale",
+        action="store_true",
+        help="benchmark the 99x99 rescaled-TAD workload",
+    )
+    ap.add_argument(
+        "--modes",
+        action="store_true",
+        help="benchmark stripes / coverage_norm engine modes vs plain",
+    )
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="scaling efficiency over a 1/2/4/8-device loci mesh (CPU here)",
+    )
     args = ap.parse_args()
     if args.quick:
         args.loci, args.chunk, args.ref_snips = 131_072, 32_768, 2_000
 
+    if args.scaling:
+        # multi-chip hardware is unavailable here: the scaling bench always
+        # runs on a virtual 8-device CPU mesh (must be set before jax inits)
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     from coolpuppy_tpu.jax_setup import ensure_jax_cache
 
     ensure_jax_cache()
+
+    if args.scaling:
+        import jax
+
+        # this image's jax ignores JAX_PLATFORMS when the axon plugin is
+        # present; force CPU through the config API
+        jax.config.update("jax_platforms", "cpu")
+        rates, retention = bench_scaling()
+        top = max(retention)
+        print(
+            json.dumps(
+                {
+                    "metric": "sharding_throughput_retention_8dev",
+                    "value": round(retention[top], 3),
+                    "unit": "fraction",
+                    "vs_baseline": None,
+                    "detail": {
+                        "platform": str(jax.devices()[0].platform),
+                        "note": (
+                            "virtual CPU mesh shares one host's cores: total "
+                            "compute is fixed, so this measures throughput "
+                            "retained under n-way loci sharding (collective "
+                            "overhead); real chips multiply compute by n on "
+                            "top of this"
+                        ),
+                        "snips_per_sec": {
+                            str(k): round(v) for k, v in rates.items()
+                        },
+                        "retention": {
+                            str(k): round(v, 3) for k, v in retention.items()
+                        },
+                    },
+                }
+            )
+        )
+        return
+
+    if args.rescale:
+        import jax
+
+        rate, wall, n_snips, ref_rate = bench_rescale()
+        print(
+            json.dumps(
+                {
+                    "metric": "rescale_snippets_per_sec",
+                    "value": round(rate),
+                    "unit": "snips/s",
+                    "vs_baseline": round(rate / ref_rate, 2),
+                    "detail": {
+                        "device": str(jax.devices()[0]),
+                        "snips": n_snips,
+                        "wall_s": round(wall, 2),
+                        "ref_loop_snips_per_sec": round(ref_rate, 1),
+                    },
+                }
+            )
+        )
+        return
+
+    if args.modes:
+        import jax
+
+        res = bench_modes()
+        print(
+            json.dumps(
+                {
+                    "metric": "modes_snippets_per_sec",
+                    "value": round(res["stripes"]),
+                    "unit": "snips/s",
+                    "vs_baseline": round(res["stripes"] / res["plain"], 3),
+                    "detail": {
+                        "device": str(jax.devices()[0]),
+                        "plain": round(res["plain"]),
+                        "stripes": round(res["stripes"]),
+                        "coverage_norm": round(res["coverage_norm"]),
+                        "snips": res["snips"],
+                    },
+                }
+            )
+        )
+        return
 
     if args.engine:
         import jax

@@ -381,22 +381,21 @@ class PileUpper:
         make_outmap, coolpup.py:1007–1022)."""
         return 2 * self.pad_bins + 1
 
-    def _use_pallas(self, dev, emit_expected, coverage, large_g, W):
-        """Route the hot path through the Pallas quad kernel when supported:
-        TPU backend, plain accumulation (no expected-emission / coverage /
-        stripes), moderate group count, window fits a tile, and any expected
-        is a cis vector (trans scalar expected stays on the XLA path)."""
+    def _use_pallas(self, dev, W):
+        """Route the hot path through the Pallas quad kernel whenever the
+        backend supports it and the window fits a tile. Every non-rescale
+        mode rides this path: sum/num in the quad kernel, coverage /
+        expected-emission / stripes via cheap side steps, >512 groups via
+        cid-sorted group blocks (see _pallas_accumulate)."""
         if self.mesh is not None:
             # multi-chip routes the fused XLA step through shard_map; the
             # quad-sorted pallas kernel is a single-device program
             return False
         if self.backend == "xla":
             return False
-        if emit_expected or coverage or large_g or self.store_stripes:
-            return False
         if W > 120:  # pallas superwindow headroom limit
             return False
-        if self.backend == "pallas":
+        if self.backend in ("pallas", "pallas-interpret"):
             return True
         import jax
 
@@ -574,12 +573,13 @@ class PileUpper:
             if timers:
                 timers.count("snips", ntot)
 
-            Chalf = max(4, _next_pow2(len(cid_of)))
+            G = len(cid_of)
+            Chalf = max(4, _next_pow2(G))
             C = 2 * Chalf
             cid_dev = (arr["cidl"] + Chalf * arr["flip"]).astype(np.int32)
-            large_g = len(cid_of) > 512
+            large_g = G > 512
 
-            counts = np.bincount(arr["cidl"], minlength=len(cid_of))
+            counts = np.bincount(arr["cidl"], minlength=G)
             for i, c in enumerate(counts):
                 n_counts[i] = int(c)
 
@@ -590,49 +590,66 @@ class PileUpper:
             dev_ctx = (
                 timers.phase("device") if timers else contextlib.nullcontext()
             )
-            use_pallas = (not self.rescale) and self._use_pallas(
-                dev, emit_expected, coverage, large_g, W
-            )
+            use_pallas = (not self.rescale) and self._use_pallas(dev, W)
 
-            with tile_ctx:
-                from ..ops.pallas_gather import PALLAS_B
-
-                tile_B = PALLAS_B if use_pallas else B
-                tile_stack = build_tile_stack_slab(
-                    dev["slab"],
-                    tile_B,
-                    r1=arr["r1"],
-                    r2=arr["r2"],
-                    window1=W if not self.rescale else arr["h1"],
-                    window2=W if not self.rescale else arr["w2"],
-                )
-
-            S_sub = min(65536, max(256, _next_pow2(ntot)))
             if self.rescale:
-                S_sub = min(4096, max(64, _next_pow2(ntot)))
-            if self.mesh is not None:
-                # equal pow2 per-device shards (padding snips absorb the rest)
-                n_shards = int(self.mesh.shape["loci"])
-                S_sub = _next_pow2(-(-S_sub // n_shards)) * n_shards
+                with dev_ctx:
+                    out_total = self._rescale_accumulate(
+                        dev,
+                        arr,
+                        cid_dev,
+                        ntot,
+                        C,
+                        use_expected,
+                        emit_expected,
+                        coverage,
+                        large_g,
+                    )
+                out_total = merge_flip_banks(out_total, Chalf)
+            elif use_pallas:
+                with tile_ctx:
+                    from ..ops.pallas_gather import PALLAS_B
 
-            with dev_ctx:
-                out_total = self._device_accumulate(
-                    tile_stack,
-                    dev,
-                    arr,
-                    cid_dev,
-                    ntot,
-                    S_sub,
-                    C,
-                    W if not self.rescale else None,
-                    B,
-                    use_pallas,
-                    use_expected,
-                    emit_expected,
-                    coverage,
-                    large_g,
-                )
-            out_total = merge_flip_banks(out_total, Chalf)
+                    tile_stack = build_tile_stack_slab(
+                        dev["slab"],
+                        PALLAS_B,
+                        r1=arr["r1"],
+                        r2=arr["r2"],
+                        window1=W,
+                        window2=W,
+                    )
+                with dev_ctx:
+                    out_total = self._pallas_accumulate(
+                        tile_stack, dev, arr, ntot, W, G, emit_expected, coverage
+                    )
+            else:
+                with tile_ctx:
+                    tile_stack = build_tile_stack_slab(
+                        dev["slab"],
+                        B,
+                        r1=arr["r1"],
+                        r2=arr["r2"],
+                        window1=W,
+                        window2=W,
+                    )
+                S_sub = self._chunk_size_for(ntot)
+                with dev_ctx:
+                    out_total = self._device_accumulate(
+                        tile_stack,
+                        dev,
+                        arr,
+                        cid_dev,
+                        ntot,
+                        S_sub,
+                        C,
+                        W,
+                        B,
+                        use_expected,
+                        emit_expected,
+                        coverage,
+                        large_g,
+                    )
+                out_total = merge_flip_banks(out_total, Chalf)
             for k, v in out_total.items():
                 if k in ("horizontal_stripe", "vertical_stripe"):
                     continue
@@ -704,6 +721,263 @@ class PileUpper:
             logger.info(f"{region1, region2}: {outdict['ROI']['all']['n']}")
         return outdict
 
+    def _pallas_accumulate(
+        self, tile_stack, dev, arr, ntot, W, G, emit_expected, coverage
+    ):
+        """All non-rescale modes on the pallas fast path. The quad kernel
+        accumulates sum/num (fetch=False dispatches pipeline, a running
+        on-device total keeps one accumulator set live); everything else is a
+        cheap exact side computation:
+
+        - coverage vectors: XLA scatter-add of coverage slices (make_cov_step)
+        - expected emission (ooe=False): per-(group, dd0) histogram × toeplitz
+          lookup on host (expected_toeplitz_sums) — no per-snip work at all
+        - stripes: per-snip center row/col gather from the session's
+          normalized device tiles (make_stripe_step), O(ntot·W)
+        - >512 groups: the same kernel over cid-sorted blocks of 512 groups,
+          so VMEM accumulators stay bounded at any group count (by-window)
+
+        Returns flip-merged accumulators keyed [G, ...] plus per-snip stripe
+        planes in input order."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.gather import (
+            expected_toeplitz_sums,
+            make_cov_step,
+            make_stripe_step,
+        )
+        from ..ops.pallas_gather import PALLAS_B, PallasPileupSession
+
+        cidl = arr["cidl"]
+        flip = arr["flip"]
+        block_groups = getattr(self, "_pallas_block_groups", 512)
+        blocked = G > block_groups
+        half = block_groups if blocked else max(4, _next_pow2(G))
+        capacity = 2 * half
+        # a trash slot absorbs padding snips so every sub-chunk has the same
+        # length (distinct lengths recompile)
+        trash = capacity
+        session = PallasPileupSession(
+            tile_stack,
+            dev["valid1"],
+            dev["valid2"],
+            dev["evec"],
+            dict(
+                W=W,
+                capacity=capacity + 8,
+                cis=dev["cis"],
+                ignore_diags=int(self.ignore_diags),
+                ooe=bool(self.expected and self.ooe),
+                interpret=self.backend == "pallas-interpret",
+            ),
+        )
+
+        def run_segment(r1s, r2s, dd0s, cids):
+            n = len(r1s)
+            chunk = min(65536, max(256, _next_pow2(n)))
+            total_dev = None
+            for lo in range(0, n, chunk):
+                S = min(lo + chunk, n) - lo
+
+                def padded(a, fill):
+                    out = np.full(chunk, fill, a.dtype)
+                    out[:S] = a[lo : lo + S]
+                    return out
+
+                out = session.run(
+                    padded(r1s, 0),
+                    padded(r2s, 0),
+                    padded(dd0s, 0),
+                    padded(cids, trash),
+                    fetch=False,
+                )
+                total_dev = (
+                    out
+                    if total_dev is None
+                    else jax.tree.map(jnp.add, total_dev, out)
+                )
+            total = session.finalize([total_dev])
+            return {k: v[:capacity] for k, v in total.items()}
+
+        if not blocked:
+            cid_dev = (cidl + half * flip).astype(np.int32)
+            seg = run_segment(arr["r1"], arr["r2"], arr["dd0"], cid_dev)
+            merged = merge_flip_banks(seg, half)
+            out = {k: v[:G] for k, v in merged.items()}
+        else:
+            order = np.argsort(cidl, kind="stable")
+            sorted_cid = cidl[order]
+            bounds = np.searchsorted(
+                sorted_cid, np.arange(0, G + half, half)
+            )
+            out = None
+            for bi in range(len(bounds) - 1):
+                lo_s, hi_s = int(bounds[bi]), int(bounds[bi + 1])
+                if hi_s <= lo_s:
+                    continue
+                base = bi * half
+                sel = order[lo_s:hi_s]
+                local = (
+                    (sorted_cid[lo_s:hi_s] - base) + half * flip[sel]
+                ).astype(np.int32)
+                seg = run_segment(
+                    arr["r1"][sel], arr["r2"][sel], arr["dd0"][sel], local
+                )
+                merged = merge_flip_banks(seg, half)
+                if out is None:
+                    out = {
+                        k: np.zeros((G,) + v.shape[1:], v.dtype)
+                        for k, v in merged.items()
+                    }
+                span = min(half, G - base)
+                for k, v in merged.items():
+                    out[k][base : base + span] = v[:span]
+
+        if coverage:
+            cap = max(8, _next_pow2(G))
+            pad_n = max(256, _next_pow2(ntot))
+
+            def padv(a, fill=0):
+                o = np.full(pad_n, fill, a.dtype)
+                o[:ntot] = a
+                return o
+
+            mask = np.zeros(pad_n, np.float32)
+            mask[:ntot] = 1.0
+            cov_step = make_cov_step(W, cap, pad_n)
+            cs, ce = cov_step(
+                dev["cov1"],
+                dev["cov2"],
+                padv(arr["r1"]),
+                padv(arr["r2"]),
+                padv(cidl),
+                mask,
+            )
+            out["cov_start"] = np.asarray(cs, np.float64)[:G]
+            out["cov_end"] = np.asarray(ce, np.float64)[:G]
+
+        if emit_expected:
+            exp_sum, exp_num = expected_toeplitz_sums(
+                cidl, arr["dd0"], dev["evec"], W, G
+            )
+            out["exp_sum"] = exp_sum
+            out["exp_num"] = exp_num
+
+        if self.store_stripes:
+            stripe_step = make_stripe_step(W, 0, PALLAS_B)
+            tmap_dev = jax.device_put(tile_stack.tile_map.ravel())
+            ncolp = np.int32(tile_stack.tile_map.shape[1])
+            hs_parts, vs_parts = [], []
+            chunk = 65536
+            for lo in range(0, ntot, chunk):
+                S = min(lo + chunk, ntot) - lo
+                S_pad = min(chunk, max(256, _next_pow2(S)))
+                r1p = np.zeros(S_pad, arr["r1"].dtype)
+                r2p = np.zeros(S_pad, arr["r2"].dtype)
+                r1p[:S] = arr["r1"][lo : lo + S]
+                r2p[:S] = arr["r2"][lo : lo + S]
+                h, v = stripe_step(
+                    session.ctiles_dev,
+                    session.ntiles_dev,
+                    tmap_dev,
+                    ncolp,
+                    r1p,
+                    r2p,
+                )
+                hs_parts.append((h, S))
+                vs_parts.append((v, S))
+            out["horizontal_stripe"] = np.concatenate(
+                [np.asarray(h, np.float64)[:S] for h, S in hs_parts]
+            )
+            out["vertical_stripe"] = np.concatenate(
+                [np.asarray(v, np.float64)[:S] for v, S in vs_parts]
+            )
+        return out
+
+    def _chunk_size_for(self, ntot, rescale=False):
+        """Fixed pow2 device chunk size (bounded working set, one compiled
+        shape per size), rounded to equal per-device shards under a mesh."""
+        if rescale:
+            S_sub = min(4096, max(64, _next_pow2(ntot)))
+        else:
+            S_sub = min(65536, max(256, _next_pow2(ntot)))
+        if self.mesh is not None:
+            n_shards = int(self.mesh.shape["loci"])
+            S_sub = _next_pow2(-(-S_sub // n_shards)) * n_shards
+        return S_sub
+
+    def _rescale_accumulate(
+        self,
+        dev,
+        arr,
+        cid_dev,
+        ntot,
+        C,
+        use_expected,
+        emit_expected,
+        coverage,
+        large_g,
+    ):
+        """Variable-extent snips bucketed by pow2 extent: each bucket gets its
+        own tile stack (tile size = bucket extent) and rescale step
+        (Hmax = bucket extent), so gather traffic and resize matmuls scale
+        with the snips' actual sizes instead of the global maximum — one
+        oversized TAD no longer forces giant superwindows on every snip."""
+        import contextlib as _ctx
+
+        timers = self._timers
+        extent = np.maximum(arr["h1"], arr["w2"]).astype(np.int64)
+        buckets = np.maximum(
+            64, 1 << np.ceil(np.log2(np.maximum(extent, 1))).astype(np.int64)
+        )
+        total = None
+        stripes_h = stripes_v = None
+        for hb in np.unique(buckets):
+            idx = np.nonzero(buckets == hb)[0]
+            sub = {k: arr[k][idx] for k in ("r1", "r2", "dd0", "h1", "w2")}
+            tctx = timers.phase("tiles") if timers else _ctx.nullcontext()
+            with tctx:
+                ts = build_tile_stack_slab(
+                    dev["slab"],
+                    int(hb),
+                    r1=sub["r1"],
+                    r2=sub["r2"],
+                    window1=sub["h1"],
+                    window2=sub["w2"],
+                )
+            out = self._device_accumulate(
+                ts,
+                dev,
+                sub,
+                cid_dev[idx],
+                len(idx),
+                self._chunk_size_for(len(idx), rescale=True),
+                C,
+                None,
+                int(hb),
+                use_expected,
+                emit_expected,
+                coverage,
+                large_g,
+                hmax=int(hb),
+            )
+            if self.store_stripes:
+                h = out.pop("horizontal_stripe")
+                v = out.pop("vertical_stripe")
+                if stripes_h is None:
+                    stripes_h = np.zeros((ntot, h.shape[1]))
+                    stripes_v = np.zeros((ntot, v.shape[1]))
+                stripes_h[idx] = h
+                stripes_v[idx] = v
+            total = (
+                out if total is None else {k: total[k] + out[k] for k in out}
+            )
+        if self.store_stripes:
+            total["horizontal_stripe"] = stripes_h
+            total["vertical_stripe"] = stripes_v
+        return total
+
     def _device_accumulate(
         self,
         tile_stack,
@@ -715,72 +989,23 @@ class PileUpper:
         C,
         W,
         B,
-        use_pallas,
         use_expected,
         emit_expected,
         coverage,
         large_g,
+        hmax=None,
     ):
-        """Stage the tile stack once, loop fixed-size sub-chunks through the
-        fused kernel, keeping a running on-device total (one accumulator set
-        live regardless of chunk count; dispatches stay async so chunks still
-        pipeline). Stripe planes are per-snip output data and are retained per
-        chunk (device-side) until the single sync."""
+        """XLA fallback path (CPU, mesh, rescale): stage the tile stack once,
+        loop fixed-size sub-chunks through the fused step, keeping a running
+        on-device total (one accumulator set live regardless of chunk count;
+        dispatches stay async so chunks still pipeline). Stripe planes are
+        per-snip output data and are retained per chunk (device-side) until
+        the single sync."""
         import jax
         import jax.numpy as jnp
 
         total = None
         stripe_h, stripe_v = [], []
-
-        if use_pallas:
-            from ..ops.pallas_gather import PallasPileupSession
-
-            # a trash accumulator slot absorbs padding snips so every
-            # sub-chunk has the same length (distinct lengths recompile)
-            trash = C
-            session = PallasPileupSession(
-                tile_stack,
-                dev["valid1"],
-                dev["valid2"],
-                dev["evec"],
-                dict(
-                    W=W,
-                    capacity=C + 8,
-                    cis=dev["cis"],
-                    ignore_diags=int(self.ignore_diags),
-                    ooe=bool(use_expected and self.ooe),
-                ),
-            )
-            total_dev = None
-            for lo in range(0, ntot, S_sub):
-                sl = slice(lo, min(lo + S_sub, ntot))
-                S = sl.stop - sl.start
-
-                def padded(a, fill):
-                    if S == S_sub:
-                        return a[sl]
-                    out = np.full(S_sub, fill, a.dtype)
-                    out[:S] = a[sl]
-                    return out
-
-                # fetch=False: dispatches are async, chunks pipeline on the
-                # device with no per-chunk host round-trip. A running
-                # on-device total keeps exactly ONE accumulator set live
-                # instead of O(n_chunks) [C, W, W] outputs.
-                out = session.run(
-                    padded(arr["r1"], 0),
-                    padded(arr["r2"], 0),
-                    padded(arr["dd0"], 0),
-                    padded(cid_dev, trash),
-                    fetch=False,
-                )
-                total_dev = (
-                    out
-                    if total_dev is None
-                    else jax.tree.map(jnp.add, total_dev, out)
-                )
-            total = session.finalize([total_dev])
-            return {k: v[:C] for k, v in total.items()}
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -806,7 +1031,7 @@ class PileUpper:
             )
         )
 
-        rescale = self.rescale
+        rescale = hmax is not None
         # under a mesh the step is compiled for the PER-DEVICE shard size and
         # shard_mapped over "loci"; inputs stay global [S_sub] arrays
         n_shards = int(self.mesh.shape["loci"]) if self.mesh is not None else 1
@@ -825,7 +1050,7 @@ class PileUpper:
             if rescale:
                 cfg = RescaleConfig(
                     R=self.rescale_size,
-                    Hmax=_next_pow2(self.max_extent_bins),
+                    Hmax=hmax,
                     B=B,
                     S=S_dev,
                     block=min(64, S_dev),

@@ -234,6 +234,95 @@ def make_pileup_step_fn(cfg: GatherConfig):
     return step
 
 
+@lru_cache(maxsize=32)
+def make_cov_step(W: int, C: int, S: int):
+    """Jitted coverage accumulation side-step: cov_start/cov_end [C, W] from
+    per-snip coverage-vector slices, grouped by cid via scatter-add (works
+    for any group count). Runs beside the pallas sum/num kernel — coverage
+    vectors never touch the window kernel (reference coolpup.py:1152–1153)."""
+
+    @jax.jit
+    def step(cov1, cov2, r1, r2, cid, snipmask):
+        c1 = _slice_vec(cov1, r1, W) * snipmask[:, None]
+        c2 = _slice_vec(cov2, r2, W) * snipmask[:, None]
+        c1 = jnp.where(jnp.isfinite(c1), c1, 0.0)
+        c2 = jnp.where(jnp.isfinite(c2), c2, 0.0)
+        zeros = jnp.zeros((C, W), jnp.float32)
+        return zeros.at[cid].add(c1), zeros.at[cid].add(c2)
+
+    return step
+
+
+@lru_cache(maxsize=32)
+def make_stripe_step(W: int, S: int, B: int):
+    """Jitted per-snip stripe gather: center row (horizontal) and reversed
+    center column (vertical) of every snip window, with the reference's NaN
+    semantics, cut from the NORMALIZED tile stacks (contribution + num) the
+    pallas session already holds on device. O(S·W) HBM traffic — W× less
+    than re-gathering windows (reference stripes: coolpup.py:1164–1188)."""
+    mid = W // 2
+
+    def _line_row(tiles, tmap, ncolp, row, col0):
+        t1, o1 = row // B, row % B
+        t2, o2 = col0 // B, col0 % B
+        line = jnp.concatenate(
+            [tiles[tmap[t1 * ncolp + t2], o1], tiles[tmap[t1 * ncolp + t2 + 1], o1]]
+        )
+        return jax.lax.dynamic_slice(line, (o2,), (W,))
+
+    def _line_col(tiles, tmap, ncolp, row0, col):
+        t2, o2 = col // B, col % B
+        t1, o1 = row0 // B, row0 % B
+        line = jnp.concatenate(
+            [
+                tiles[tmap[t1 * ncolp + t2], :, o2],
+                tiles[tmap[(t1 + 1) * ncolp + t2], :, o2],
+            ]
+        )
+        return jax.lax.dynamic_slice(line, (o1,), (W,))
+
+    @jax.jit
+    def step(ctiles, ntiles, tmap, ncolp, r1, r2):
+        def one(a, b):
+            hc = _line_row(ctiles, tmap, ncolp, a + mid, b)
+            hn = _line_row(ntiles, tmap, ncolp, a + mid, b)
+            vc = _line_col(ctiles, tmap, ncolp, a, b + mid)
+            vn = _line_col(ntiles, tmap, ncolp, a, b + mid)
+
+            def nanify(c, n):
+                return jnp.where((n > 0) | jnp.isinf(c), c, jnp.nan)
+
+            return nanify(hc, hn), nanify(vc, vn)[::-1]
+
+        return jax.vmap(one)(r1, r2)
+
+    return step
+
+
+def expected_toeplitz_sums(cid, dd0, evec, W, G):
+    """exp_sum / exp_num [G, W, W]: the expected-emission accumulators
+    (ooe=False mode) computed EXACTLY from the (group, dd0) histogram — each
+    snip's expected window is the toeplitz E(|dd0 + i − j|), so the per-group
+    sum is Σ_d h[g,d]·E(|d + i − j|): one small matmul instead of per-snip
+    device work. Unmasked, like the reference's exp channel
+    (coolpup.py:1130–1138); toeplitz planes are invariant under the flip
+    anti-transpose, so flipped snips need no special casing."""
+    evec = np.atleast_1d(np.asarray(evec, dtype=np.float64))
+    uniq, inv = np.unique(np.asarray(dd0), return_inverse=True)
+    hist = np.zeros((G, len(uniq)))
+    np.add.at(hist, (np.asarray(cid), inv), 1.0)
+
+    offsets = np.arange(-(W - 1), W)  # k = i - j
+    idx = np.abs(uniq[None, :] + offsets[:, None])  # [2W-1, D]
+    ek = evec[np.minimum(idx, len(evec) - 1)]  # clip like the device kernel
+    finite = np.isfinite(ek)
+    m_sum = hist @ np.where(finite, ek, 0.0).T  # [G, 2W-1]
+    m_num = hist @ finite.T.astype(np.float64)
+
+    kmap = (np.arange(W)[:, None] - np.arange(W)[None, :]) + (W - 1)
+    return m_sum[:, kmap], m_num[:, kmap]
+
+
 def merge_flip_banks(out, half):
     """Collapse the flip bank: slots [half:2*half] hold snips accumulated
     unflipped that *should* be flipped; anti-transpose those sums once and add
