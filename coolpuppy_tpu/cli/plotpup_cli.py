@@ -58,6 +58,25 @@ def parse_args_plotpuppy():
     parser.add_argument("--row_order", type=lambda s: re.split(" |, ", s))
     parser.add_argument("--colnames", type=str, nargs="+")
     parser.add_argument("--rownames", type=str, nargs="+")
+    parser.add_argument(
+        "--cbar_mode",
+        type=str,
+        default="single",
+        choices=["single", "edge", "each"],
+        help="One shared colorbar, one per row, or one per panel",
+    )
+    parser.add_argument(
+        "--n_cols",
+        type=int,
+        default=0,
+        help="Wrap panels into this many columns (0 = automatic layout)",
+    )
+    parser.add_argument(
+        "--n_rows",
+        type=int,
+        default=0,
+        help="Wrap panels into this many rows (0 = automatic layout)",
+    )
     parser.add_argument("--query", type=str, default="", nargs="*")
     parser.add_argument("--norm_corners", type=int, default=0)
     parser.add_argument(
@@ -169,6 +188,7 @@ def main(argv=None):
         plot_ticks=args.plot_ticks,
         colnames=args.colnames,
         rownames=args.rownames,
+        cbar_mode=args.cbar_mode,
     )
     if args.stripe:
         plot_stripes(
@@ -180,7 +200,7 @@ def main(argv=None):
             **common,
         )
     else:
-        plot(pups, score=score, **common)
+        plot(pups, score=score, n_cols=args.n_cols, n_rows=args.n_rows, **common)
 
     plt.savefig(args.output, bbox_inches="tight", dpi=args.dpi)
     logger.info(f"Saved output to {args.output}")

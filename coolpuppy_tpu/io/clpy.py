@@ -97,6 +97,12 @@ def save_pileup_df(filename, df, metadata=None, mode="w", compression="lzf"):
             "annotation_json",
             data=json.dumps({"columns": ann_cols, "records": records}),
         )
+        # reference-compatible annotation table (pandas fixed format, what
+        # the reference's pd.read_hdf(.., "annotation") expects — reference
+        # lib/io.py:30–53)
+        from .pandas_hdf import write_fixed_frame
+
+        write_fixed_frame(f, "annotation", df[ann_cols])
         width = int(df["data"].iloc[0].shape[0])
         height = width * df.shape[0]
         ds = f.create_dataset(
@@ -133,12 +139,20 @@ def load_pileup_df(filename, quaich=False, skipstripes=False):
     """Load a .clpy file (reference lib/io.py:98–156 counterpart)."""
     with h5py.File(filename, "r") as f:
         metadata = dict(f["attrs"].attrs)
-        payload = json.loads(f["annotation_json"][()])
-        records = [
-            {c: _unjsonable(rec.get(c), col=c) for c in payload["columns"]}
-            for rec in payload["records"]
-        ]
-        annotation = pd.DataFrame(records, columns=payload["columns"])
+        if "annotation_json" in f:
+            payload = json.loads(f["annotation_json"][()])
+            records = [
+                {c: _unjsonable(rec.get(c), col=c) for c in payload["columns"]}
+                for rec in payload["records"]
+            ]
+            annotation = pd.DataFrame(records, columns=payload["columns"])
+        else:
+            # reference-written file: pandas fixed-format annotation table
+            from .pandas_hdf import read_fixed_frame
+
+            annotation = read_fixed_frame(f, "annotation").reset_index(
+                drop=True
+            )
         n = len(annotation)
         dstore = f["data"]
         width = dstore.shape[1]

@@ -115,25 +115,96 @@ def _select(pupsdf, cols, rows, cval, rval):
     return sel
 
 
+def _cbar_ticks(norm, sym, scale):
+    if sym and scale == "log":
+        return [norm.vmin, 1, norm.vmax]
+    return [norm.vmin, norm.vmax]
+
+
 def _shared_colorbar(fig, axes, norm, cmap, sym, scale):
     pos_tr = axes[0][-1].get_position()
     pos_br = axes[-1][-1].get_position()
     cax = fig.add_axes(
         [pos_tr.x1 + 0.02, pos_br.y0, 0.02, pos_tr.y1 - pos_br.y0]
     )
-    ticks = (
-        [norm.vmin, 1, norm.vmax]
-        if (sym and scale == "log")
-        else [norm.vmin, norm.vmax]
-    )
     fig.colorbar(
         cm.ScalarMappable(norm, cmap),
-        ticks=ticks,
+        ticks=_cbar_ticks(norm, sym, scale),
         cax=cax,
         format=ticker.FuncFormatter(lambda x, pos: f"{x:.2g}"),
     )
     cax.minorticks_off()
     return cax
+
+
+def _add_colorbars(fig, axes, norm, cmap, sym, scale, cbar_mode):
+    """Colorbar placement: 'single' (one shared, the default), 'edge' (one
+    per heatmap row), or 'each' (one per panel)."""
+    mappable = cm.ScalarMappable(norm, cmap)
+    fmt = ticker.FuncFormatter(lambda x, pos: f"{x:.2g}")
+    ticks = _cbar_ticks(norm, sym, scale)
+    if cbar_mode == "single":
+        return _shared_colorbar(fig, axes, norm, cmap, sym, scale)
+    if cbar_mode == "edge":
+        for row_axes in axes:
+            pos = row_axes[-1].get_position()
+            cax = fig.add_axes([pos.x1 + 0.02, pos.y0, 0.02, pos.y1 - pos.y0])
+            fig.colorbar(mappable, ticks=ticks, cax=cax, format=fmt)
+            cax.minorticks_off()
+        return None
+    if cbar_mode == "each":
+        for row_axes in axes:
+            for ax in row_axes:
+                if not ax.get_visible() or not ax.has_data():
+                    continue
+                pos = ax.get_position()
+                cax = fig.add_axes(
+                    [pos.x1 + 0.005, pos.y0, 0.012, pos.y1 - pos.y0]
+                )
+                fig.colorbar(mappable, ticks=ticks, cax=cax, format=fmt)
+                cax.minorticks_off()
+                cax.tick_params(labelsize=6)
+        return None
+    raise ValueError("cbar_mode can only be 'single', 'edge' or 'each'")
+
+
+def _wrap_layout(pupsdf, cols, rows, col_order, row_order, n_cols, n_rows):
+    """Optional manual grid layout: when n_cols/n_rows is given and at most
+    one facet dimension is in play, wrap the panels into an n_rows x n_cols
+    grid (0 = derive; neither set on a facet-less frame = as-square-as-
+    possible). Returns (panel_grid, panel_labels) with pupsdf indices, or
+    None when the regular cross-product layout applies."""
+    if not (n_cols or n_rows):
+        return None
+    if cols is not None and rows is not None:
+        return None  # two real facet dimensions: the cross product stands
+    if cols is not None:
+        keys = [(c, None) for c in col_order]
+        labels = list(col_order)
+    elif rows is not None:
+        keys = [(None, r) for r in row_order]
+        labels = list(row_order)
+    else:
+        keys = [("__index__", i) for i in range(len(pupsdf))]
+        labels = [None] * len(pupsdf)
+    n = len(keys)
+    if n_cols and n_rows:
+        R, C = int(n_rows), int(n_cols)
+    elif n_cols:
+        C = int(n_cols)
+        R = int(np.ceil(n / C))
+    else:
+        R = int(n_rows)
+        C = int(np.ceil(n / R))
+    grid, glabels = [], []
+    for r in range(R):
+        grid.append(
+            [keys[r * C + c] if r * C + c < n else None for c in range(C)]
+        )
+        glabels.append(
+            [labels[r * C + c] if r * C + c < n else None for c in range(C)]
+        )
+    return grid, glabels
 
 
 def plot(
@@ -158,9 +229,13 @@ def plot(
     plot_ticks=False,
     colnames=None,
     rownames=None,
+    cbar_mode="single",
+    n_cols=0,
+    n_rows=0,
     **kwargs,
 ):
-    """Grid of pileup heatmaps (reference plotpup.py:672–941)."""
+    """Grid of pileup heatmaps (reference plotpup.py:672–941), plus manual
+    n_cols/n_rows grid wrapping and cbar_mode single/edge/each."""
     pupsdf = pupsdf.copy().reset_index(drop=True)
     if norm_corners:
         pupsdf["data"] = pupsdf.apply(
@@ -169,7 +244,16 @@ def plot(
     cols, rows, col_order, row_order = _facet_orders(
         pupsdf, cols, rows, col_order, row_order
     )
-    ncols, nrows = len(col_order), len(row_order)
+    wrapped = _wrap_layout(
+        pupsdf, cols, rows, col_order, row_order, n_cols, n_rows
+    )
+    if wrapped is not None:
+        panel_grid, panel_labels = wrapped
+        nrows, ncols = len(panel_grid), len(panel_grid[0])
+    else:
+        panel_grid = [[(c, r) for c in col_order] for r in row_order]
+        panel_labels = None
+        ncols, nrows = len(col_order), len(row_order)
     vmin, vmax = get_min_max(pupsdf["data"].values, vmin, vmax, sym, scale)
     norm_cls = {"log": LogNorm, "linear": Normalize}.get(scale)
     if norm_cls is None:
@@ -192,10 +276,19 @@ def plot(
         squeeze=False,
     )
     fontsize = font_scale * (4.94 + height) * 2
-    for ri, rval in enumerate(row_order):
-        for ci, cval in enumerate(col_order):
+    for ri in range(nrows):
+        for ci in range(ncols):
             ax = axarr[ri][ci]
-            sel = _select(pupsdf, cols, rows, cval, rval)
+            key = panel_grid[ri][ci]
+            if key is None:
+                ax.axis("off")
+                continue
+            cval, rval = key
+            if cval == "__index__":
+                sel = pupsdf.iloc[[rval]]
+                cval = rval = None
+            else:
+                sel = _select(pupsdf, cols, rows, cval, rval)
             if len(sel) > 1:
                 raise ValueError(
                     "Multiple pileups for one of the conditions, ensure "
@@ -234,17 +327,21 @@ def plot(
             else:
                 ax.set_xticks([])
                 ax.set_yticks([])
-            if ri == nrows - 1 and cval is not None:
-                label = colnames[ci] if colnames else cval
-                ax.set_xlabel(label, fontsize=fontsize)
-            if ci == 0 and rval is not None:
-                label = rownames[ri] if rownames else rval
-                ax.set_ylabel(
-                    label, rotation=0, ha="right", va="center",
-                    fontsize=fontsize,
-                )
+            if panel_labels is not None:
+                if panel_labels[ri][ci] is not None:
+                    ax.set_xlabel(str(panel_labels[ri][ci]), fontsize=fontsize)
+            else:
+                if ri == nrows - 1 and cval is not None:
+                    label = colnames[ci] if colnames else cval
+                    ax.set_xlabel(label, fontsize=fontsize)
+                if ci == 0 and rval is not None:
+                    label = rownames[ri] if rownames else rval
+                    ax.set_ylabel(
+                        label, rotation=0, ha="right", va="center",
+                        fontsize=fontsize,
+                    )
     fig.subplots_adjust(wspace=0.05, hspace=0.05, right=ncols / (ncols + 0.25))
-    _shared_colorbar(fig, axarr, norm, cmap, sym, scale)
+    _add_colorbars(fig, axarr, norm, cmap, sym, scale, cbar_mode)
     return fig
 
 
@@ -333,9 +430,12 @@ def plot_stripes(
     colnames=None,
     rownames=None,
     lineplot=False,
+    cbar_mode="single",
     **kwargs,
 ):
-    """Stripe stack-up grids (reference plotpup.py:290–669)."""
+    """Stripe stack-up grids (reference plotpup.py:290–669); lineplot=True
+    adds a mean-profile panel above EVERY stack-up row (the reference's
+    add_stripe_lineplot handles only single panels, plotpup.py:189–261)."""
     pupsdf = pupsdf.copy().reset_index(drop=True)
     if not {"vertical_stripe", "horizontal_stripe"}.issubset(pupsdf.columns):
         raise ValueError("No stripes stored in pup")
@@ -363,27 +463,31 @@ def plot_stripes(
     cmap = plt.get_cmap(cmap).copy()
     cmap.set_bad(cmap_emptypixel)
 
-    do_lineplot = lineplot and nrows == 1 and ncols == 1
     fig, axarr = plt.subplots(
-        nrows * (2 if do_lineplot else 1),
+        nrows * (2 if lineplot else 1),
         ncols,
-        figsize=(height * ncols + 0.7, height * nrows * (3 if do_lineplot else 2)),
+        figsize=(height * ncols + 0.7, height * nrows * (3 if lineplot else 2)),
         squeeze=False,
-        gridspec_kw={"height_ratios": [1, 5]} if do_lineplot else None,
+        gridspec_kw=(
+            {"height_ratios": [1, 5] * nrows} if lineplot else None
+        ),
     )
     fontsize = font_scale * (4.94 + height) * 2
-    heat_axes = axarr[1:] if do_lineplot else axarr
+    # with lineplots, heatmap rows are the odd grid rows (profile above each)
+    heat_axes = axarr[1::2] if lineplot else axarr
     for ri, rval in enumerate(row_order):
         for ci, cval in enumerate(col_order):
             ax = heat_axes[ri][ci]
             sel = _select(pupsdf, cols, rows, cval, rval)
             if len(sel) == 0:
                 ax.axis("off")
+                if lineplot:
+                    axarr[2 * ri][ci].axis("off")
                 continue
             row = sel.iloc[0]
             data = np.asarray(row[stripe])
-            if do_lineplot:
-                lax = axarr[0][ci]
+            if lineplot:
+                lax = axarr[2 * ri][ci]
                 mean = np.nanmean(data, axis=0)
                 if scale == "log":
                     with np.errstate(divide="ignore"):
@@ -417,5 +521,5 @@ def plot_stripes(
                     fontsize=fontsize,
                 )
     fig.subplots_adjust(wspace=0.05, hspace=0.05, right=ncols / (ncols + 0.25))
-    _shared_colorbar(fig, heat_axes, norm, cmap, sym, scale)
+    _add_colorbars(fig, heat_axes, norm, cmap, sym, scale, cbar_mode)
     return fig

@@ -128,3 +128,102 @@ def test_cli_auto_name_and_stripes(setup, monkeypatch):
     )
     assert (d / "stripes.png").exists()
     assert (d / "sorted.bedpe").exists()
+
+
+def test_plot_cbar_modes_and_wrapping(setup, tmp_path):
+    """cbar_mode each/edge and manual n_cols wrapping (flags the reference
+    sketches but never wired, plotpuppy_CLI.py:115–131)."""
+    d = setup
+    out = coolpup_cli.main(
+        [
+            str(d / "toy.cool"),
+            str(d / "features.bed"),
+            "--view",
+            str(d / "regions.bed"),
+            "--flank",
+            "2000000",
+            "--mindist",
+            "0",
+            "--by_strand",
+            "--seed",
+            "0",
+            "-o",
+            str(d / "cb.clpy"),
+        ]
+    )
+    for mode in ("each", "edge"):
+        png = str(tmp_path / f"cb_{mode}.png")
+        plotpup_cli.main(
+            [
+                "--input_pups",
+                out,
+                "--output",
+                png,
+                "--rows",
+                "orientation",
+                "--no_score",
+                "--cbar_mode",
+                mode,
+            ]
+        )
+        import os
+
+        assert os.path.getsize(png) > 0
+    # n_cols wrapping of a single facet dimension
+    png = str(tmp_path / "wrap.png")
+    plotpup_cli.main(
+        [
+            "--input_pups",
+            out,
+            "--output",
+            png,
+            "--cols",
+            "orientation",
+            "--n_cols",
+            "2",
+            "--no_score",
+        ]
+    )
+    import os
+
+    assert os.path.getsize(png) > 0
+
+
+def test_plot_stripes_multifacet_lineplot(setup, tmp_path):
+    d = setup
+    out = coolpup_cli.main(
+        [
+            str(d / "toy.cool"),
+            str(d / "features.bed"),
+            "--view",
+            str(d / "regions.bed"),
+            "--flank",
+            "2000000",
+            "--mindist",
+            "0",
+            "--by_strand",
+            "--store_stripes",
+            "--seed",
+            "0",
+            "-o",
+            str(d / "str.clpy"),
+        ]
+    )
+    png = str(tmp_path / "stripes_line.png")
+    plotpup_cli.main(
+        [
+            "--input_pups",
+            out,
+            "--output",
+            png,
+            "--rows",
+            "orientation",
+            "--stripe",
+            "corner_stripe",
+            "--lineplot",
+            "--no_score",
+        ]
+    )
+    import os
+
+    assert os.path.getsize(png) > 0

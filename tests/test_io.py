@@ -183,3 +183,113 @@ def test_fetch_slab_tile_stack_matches_coo(toy):
     got = build_tile_stack_slab(slab, 32)
     np.testing.assert_array_equal(got.tile_map, want.tile_map)
     np.testing.assert_allclose(got.tiles, want.tiles, rtol=1e-5, atol=1e-5)
+
+
+# -- pandas fixed-format annotation interop (reference lib/io.py:30–53) ------
+
+
+def test_pandas_fixed_frame_roundtrip(tmp_path):
+    import h5py
+
+    from coolpuppy_tpu.io.pandas_hdf import read_fixed_frame, write_fixed_frame
+
+    df = pd.DataFrame(
+        {
+            "group": ["+-", "-+", "all"],
+            "n": np.array([3, 5, 8], dtype=np.int64),
+            "score": np.array([0.5, np.nan, 2.0]),
+            "flag": [True, False, True],
+            "band": [(0, 50000), (50000, 100000), ()],
+        }
+    )
+    path = tmp_path / "fixed.h5"
+    with h5py.File(path, "w") as f:
+        write_fixed_frame(f, "annotation", df)
+    with h5py.File(path, "r") as f:
+        back = read_fixed_frame(f, "annotation")
+    assert list(back.columns) == list(df.columns)
+    assert list(back["group"]) == list(df["group"])
+    assert list(back["n"]) == list(df["n"])
+    np.testing.assert_allclose(
+        back["score"].astype(float), df["score"], equal_nan=True
+    )
+    assert list(back["flag"]) == list(df["flag"])
+    assert list(back["band"]) == list(df["band"])
+
+
+def test_clpy_loads_pandas_annotation_layout(tmp_path):
+    """A .clpy whose annotation exists only in the reference's pandas layout
+    (no annotation_json) loads through load_pileup_df."""
+    import h5py
+
+    from coolpuppy_tpu.io.clpy import load_pileup_df
+    from coolpuppy_tpu.io.pandas_hdf import write_fixed_frame
+
+    W = 5
+    df = pd.DataFrame({"group": ["all"], "n": [4], "expected": [False]})
+    path = tmp_path / "ref_style.clpy"
+    with h5py.File(path, "w") as f:
+        write_fixed_frame(f, "annotation", df)
+        data = np.arange(W * W, dtype=np.float64).reshape(W, W)
+        ds = f.create_dataset("data", shape=(W, W), dtype=np.float64)
+        ds[:] = data
+        attrs = f.create_group("attrs")
+        attrs.attrs["nshifts"] = 0
+        attrs.attrs["version"] = "ref"
+    out = load_pileup_df(str(path))
+    assert out.shape[0] == 1
+    assert out["group"].iloc[0] == "all"
+    assert int(out["n"].iloc[0]) == 4
+    np.testing.assert_array_equal(out["data"].iloc[0], data)
+
+
+def test_clpy_annotation_written_in_pandas_layout(tmp_path):
+    """Files we save carry BOTH annotation_json and the reference-readable
+    pandas fixed-format group (checked structurally; cross-read with real
+    PyTables is covered by test_pandas_read_hdf_interop when available)."""
+    import h5py
+
+    from coolpuppy_tpu.io.clpy import save_pileup_df
+    from coolpuppy_tpu.io.pandas_hdf import read_fixed_frame
+
+    df = pd.DataFrame(
+        {
+            "group": ["all"],
+            "data": [np.ones((5, 5))],
+            "n": [7],
+            "num": [np.ones((5, 5))],
+        }
+    )
+    path = tmp_path / "ours.clpy"
+    save_pileup_df(str(path), df, metadata={"nshifts": 0})
+    with h5py.File(path, "r") as f:
+        assert "annotation_json" in f
+        ann = read_fixed_frame(f, "annotation")
+        assert ann.attrs is not None
+    assert list(ann["group"]) == ["all"]
+    assert int(ann["n"].iloc[0]) == 7
+
+
+def test_pandas_read_hdf_interop(tmp_path):
+    """Cross-check against real pandas/PyTables when available."""
+    tables = pytest.importorskip("tables")  # noqa: F841
+
+    import h5py
+
+    from coolpuppy_tpu.io.pandas_hdf import read_fixed_frame, write_fixed_frame
+
+    df = pd.DataFrame(
+        {"group": ["a", "b"], "n": np.array([1, 2], dtype=np.int64)}
+    )
+    ours = tmp_path / "ours.h5"
+    with h5py.File(ours, "w") as f:
+        write_fixed_frame(f, "annotation", df)
+    back = pd.read_hdf(str(ours), "annotation")
+    assert list(back["group"]) == ["a", "b"]
+
+    theirs = tmp_path / "theirs.h5"
+    df.to_hdf(str(theirs), key="annotation")
+    with h5py.File(theirs, "r") as f:
+        got = read_fixed_frame(f, "annotation")
+    assert list(got["group"]) == ["a", "b"]
+    assert list(got["n"]) == [1, 2]
