@@ -25,6 +25,11 @@ from .genomics.intervals import (
     natsorted,
 )
 
+try:  # optional C++ pair enumeration (coolpuppy_tpu/native)
+    from .native import enumerate_pairs as _native_enumerate_pairs
+except Exception:  # pragma: no cover - native ext is optional
+    _native_enumerate_pairs = None
+
 DEFAULT_BAND_EDGES = np.append([0], 50000 * 2 ** np.arange(30))
 
 
@@ -518,6 +523,35 @@ class CoordCreator:
             prod = lchunk.merge(right, how="cross")
             yield self._finalize(prod, control, groupby, modify_func, rng)
 
+    def _enumerate_cis_pairs(self, centers):
+        """All (li, ri) index pairs with |center[ri]-center[li]| in the
+        distance band, in k-superdiagonal order with early termination on
+        sorted centers — the C++ sweep (native/_ingest.cpp::enumerate_pairs)
+        when built, a vectorized numpy sweep otherwise. Both produce the
+        identical pair sequence, so chunk boundaries (and therefore keyed-RNG
+        control draws) do not depend on which one ran."""
+        n = len(centers)
+        centers_sorted = bool(np.all(np.diff(centers) >= 0))
+        maxd = float(self.maxdist) if np.isfinite(self.maxdist) else 1e300
+        if _native_enumerate_pairs is not None and centers_sorted:
+            return _native_enumerate_pairs(
+                centers.astype(np.float64), float(self.mindist), maxd
+            )
+        parts_l, parts_r = [], []
+        for k in range(1, n):
+            li = np.arange(0, n - k)
+            d = centers[li + k] - centers[li]
+            if centers_sorted and d.min() > maxd:
+                break
+            keep = (self.mindist <= np.abs(d)) & (np.abs(d) <= maxd)
+            if keep.any():
+                parts_l.append(li[keep])
+                parts_r.append(li[keep] + k)
+        if not parts_l:
+            empty = np.array([], dtype=np.int64)
+            return empty, empty
+        return np.concatenate(parts_l), np.concatenate(parts_r)
+
     def _batches_cis_bed(self, region1, control, groupby, modify_func):
         iv = self.filter_bed_region(region1)
         n = len(iv)
@@ -526,46 +560,17 @@ class CoordCreator:
         left = iv.rename(columns=lambda x: x + "1")
         right = iv.rename(columns=lambda x: x + "2")
         centers = iv["center"].values
-        centers_sorted = bool(np.all(np.diff(centers) >= 0))
         rng = self._rng((region1, None))
-
-        pending = []
-        pending_rows = 0
-        for k in range(1, n):
-            li = np.arange(0, n - k)
-            ri = li + k
-            d = centers[ri] - centers[li]
-            if centers_sorted and np.isfinite(self.maxdist):
-                if d.min() > self.maxdist:
-                    break
-            keep = (self.mindist <= np.abs(d)) & (np.abs(d) <= self.maxdist)
-            if not keep.any():
-                continue
-            li, ri = li[keep], ri[keep]
+        li, ri = self._enumerate_cis_pairs(centers)
+        for lo in range(0, len(li), self.chunk_size):
+            ls = li[lo : lo + self.chunk_size]
+            rs = ri[lo : lo + self.chunk_size]
             combo = pd.concat(
                 [
-                    left.iloc[li].reset_index(drop=True),
-                    right.iloc[ri].reset_index(drop=True),
+                    left.iloc[ls].reset_index(drop=True),
+                    right.iloc[rs].reset_index(drop=True),
                 ],
                 axis=1,
             )
-            combo["distance"] = centers[ri] - centers[li]
-            pending.append(combo)
-            pending_rows += len(combo)
-            if pending_rows >= self.chunk_size:
-                yield self._finalize(
-                    pd.concat(pending).reset_index(drop=True),
-                    control,
-                    groupby,
-                    modify_func,
-                    rng,
-                )
-                pending, pending_rows = [], 0
-        if pending:
-            yield self._finalize(
-                pd.concat(pending).reset_index(drop=True),
-                control,
-                groupby,
-                modify_func,
-                rng,
-            )
+            combo["distance"] = centers[rs] - centers[ls]
+            yield self._finalize(combo, control, groupby, modify_func, rng)

@@ -656,15 +656,26 @@ class PileUpper:
                 acc[k] = v
 
             if self.store_stripes:
+                # group per-snip stripe rows by cid with one stable sort
+                # (stream order preserved within each group) instead of an
+                # O(ntot) python append loop
                 hs = out_total["horizontal_stripe"]
                 vs = out_total["vertical_stripe"]
-                for i in range(ntot):
-                    entry = stripes.setdefault(
-                        int(arr["cidl"][i]), {"h": [], "v": [], "coords": []}
-                    )
-                    entry["h"].append(hs[i])
-                    entry["v"].append(vs[i])
-                    entry["coords"].append(coord_strs[i])
+                coords_arr = np.asarray(coord_strs, dtype=object)
+                order = np.argsort(arr["cidl"], kind="stable")
+                sorted_cid = arr["cidl"][order]
+                bounds = np.searchsorted(
+                    sorted_cid, np.arange(len(cid_of) + 1)
+                )
+                for c in range(len(cid_of)):
+                    sel = order[bounds[c] : bounds[c + 1]]
+                    if len(sel) == 0:
+                        continue
+                    stripes[c] = {
+                        "h": list(hs[sel]),
+                        "v": list(vs[sel]),
+                        "coords": list(coords_arr[sel]),
+                    }
 
         # -- package into pup dicts ------------------------------------
         outdict = {"ROI": {}, "control": {}}
@@ -751,9 +762,23 @@ class PileUpper:
 
         cidl = arr["cidl"]
         flip = arr["flip"]
-        block_groups = getattr(self, "_pallas_block_groups", 512)
-        blocked = G > block_groups
-        half = block_groups if blocked else max(4, _next_pow2(G))
+        interpret = self.backend == "pallas-interpret"
+        if interpret:
+            block_groups = getattr(self, "_pallas_block_groups", 512)
+            blocked = G > block_groups
+            half = block_groups if blocked else max(4, _next_pow2(G))
+        else:
+            # PIN the accumulator capacity per window-size tier (~16MB VMEM
+            # budget for 2x [2*half, W, W] f32 banks): one compiled Mosaic
+            # kernel shape per W, ever — a fresh shape costs minutes through
+            # the remote compile service, an oversized bank costs a VMEM zero
+            if W <= 33:
+                half = 512
+            elif W <= 64:
+                half = 128
+            else:
+                half = 32
+            blocked = G > half
         capacity = 2 * half
         # a trash slot absorbs padding snips so every sub-chunk has the same
         # length (distinct lengths recompile)
@@ -775,7 +800,13 @@ class PileUpper:
 
         def run_segment(r1s, r2s, dd0s, cids):
             n = len(r1s)
-            chunk = min(65536, max(256, _next_pow2(n)))
+            # PIN the chunk size on hardware: the kernel retraces (and Mosaic
+            # recompiles, minutes via the remote service) per input length,
+            # while padding snips land in the trash slot at ~40ns each —
+            # one shape per window size, compiled once ever
+            chunk = (
+                min(65536, max(256, _next_pow2(n))) if interpret else 65536
+            )
             total_dev = None
             for lo in range(0, n, chunk):
                 S = min(lo + chunk, n) - lo

@@ -283,8 +283,12 @@ class PallasPileupSession:
         B = self.tile_stack.B
         order, quads = prep_quads(r1, r2, self.tile_stack.tile_map, B)
         nq = len(quads["qstart"])
-        # bucket Q to limit distinct compiled shapes
-        Q = 1 << int(np.ceil(np.log2(max(256, nq))))
+        # PIN Q on hardware: every distinct kernel shape costs a full Mosaic
+        # compile (minutes through a remote compile service), while an empty
+        # quad slot costs one skipped grid step (~us). 4096 covers any real
+        # region; interpret mode (CPU tests) keeps small shapes instead.
+        q_floor = 256 if self.cfg_kw.get("interpret") else 4096
+        Q = 1 << int(np.ceil(np.log2(max(q_floor, nq))))
         quads = pad_quads(quads, Q)
         cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
         step = make_pallas_pileup_step(cfg)

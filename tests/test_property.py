@@ -82,3 +82,42 @@ def test_golden_regression(toy):
             got[k], want[k], rtol=1e-5, atol=1e-8, equal_nan=True,
             err_msg=k,
         )
+
+
+def test_native_pair_enumeration_matches_numpy():
+    """The C++ sweep and the numpy sweep must yield the identical pair
+    sequence (chunk boundaries feed the keyed control RNG)."""
+    import numpy as np
+
+    from coolpuppy_tpu import native
+    from coolpuppy_tpu.coords import CoordCreator
+    import pandas as pd
+
+    if native.enumerate_pairs is None:
+        import pytest
+
+        pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(3)
+    centers = np.sort(rng.choice(100_000_000, 500, replace=False)).astype(float)
+    feats = pd.DataFrame(
+        {"chrom": "chr1", "start": centers - 500, "end": centers + 500}
+    )
+    cc = CoordCreator(
+        feats, 10_000, features_format="bed", flank=50_000,
+        mindist=200_000, maxdist=5_000_000, nshifts=0,
+    )
+    li_n, ri_n = native.enumerate_pairs(
+        centers, float(cc.mindist), float(cc.maxdist)
+    )
+    # force the numpy path
+    import coolpuppy_tpu.coords as coords_mod
+
+    saved = coords_mod._native_enumerate_pairs
+    coords_mod._native_enumerate_pairs = None
+    try:
+        li_p, ri_p = cc._enumerate_cis_pairs(centers)
+    finally:
+        coords_mod._native_enumerate_pairs = saved
+    np.testing.assert_array_equal(li_n, li_p)
+    np.testing.assert_array_equal(ri_n, ri_p)
