@@ -40,21 +40,40 @@ def bin_distance_intervals(intervals, band_edges="default"):
         band_edges = DEFAULT_BAND_EDGES
     band_edges = np.asarray(band_edges)
     edge_ids = np.searchsorted(band_edges, intervals["distance"], side="right")
-    intervals["distance_band"] = [
-        tuple(band_edges[i - 1 : i + 1]) for i in edge_ids
-    ]
+    # band tuples materialized per unique edge only (vs one per row)
+    uniq, inv = np.unique(edge_ids, return_inverse=True)
+    categories = [tuple(band_edges[i - 1 : i + 1]) for i in uniq]
+    intervals["distance_band"] = pd.Categorical.from_codes(
+        inv, categories=pd.Index(categories, tupleize_cols=False)
+    )
     return intervals
 
 
 def assign_groups(intervals, groupby=None):
     """Add a 'group' column — 'all' or the tuple of groupby values
-    (reference coolpup.py:54–75)."""
+    (reference coolpup.py:54–75). Group tuples are materialized only per
+    UNIQUE value combination and stored as a categorical: building millions
+    of per-row python tuples dominated host time at scale."""
     if not groupby:
         intervals["group"] = "all"
-    else:
-        intervals["group"] = list(
-            zip(*(intervals[col] for col in groupby))
+        return intervals
+    codes, uniques = zip(
+        *(
+            pd.factorize(intervals[col], use_na_sentinel=False)
+            for col in groupby
         )
+    )
+    sizes = [len(u) for u in uniques]
+    combined = np.ravel_multi_index([np.asarray(c) for c in codes], sizes)
+    ucomb, inv = np.unique(combined, return_inverse=True)
+    percol = np.unravel_index(ucomb, sizes)
+    categories = [
+        tuple(uniques[d][percol[d][i]] for d in range(len(groupby)))
+        for i in range(len(ucomb))
+    ]
+    intervals["group"] = pd.Categorical.from_codes(
+        inv, categories=pd.Index(categories, tupleize_cols=False)
+    )
     return intervals
 
 
@@ -339,46 +358,56 @@ class CoordCreator:
         the side-2 bp shift — upstream applies the side-1 shift to both bin
         axes, contradicting its own bp coordinates)."""
         res = self.resolution
-        # shallow copy: we only ADD columns here. ALIASING CONTRACT: the
-        # returned ROI rows share column arrays with the caller's frame —
-        # downstream hooks (modify_2Dintervals_func / postprocess_frame_func)
-        # must assign whole columns, not mutate cells in place (all built-in
-        # hooks do). Deep-copying a region's full frame (object chrom/strand/
-        # group columns) costs seconds at 100k+ rows.
-        intervals2d = intervals2d.copy(deep=False)
-        intervals2d["kind"] = "ROI"
         if nshifts <= 0:
+            # shallow copy: we only ADD a column. ALIASING CONTRACT: the
+            # returned ROI rows share column arrays with the caller's frame —
+            # downstream hooks must assign whole columns, not mutate cells in
+            # place (all built-in hooks do)
+            intervals2d = intervals2d.copy(deep=False)
+            intervals2d["kind"] = "ROI"
             return intervals2d
         if rng is None:
             rng = self._rng("anon")
-        # nshifts-fold replication via positional take — preserves extension
-        # dtypes (categorical chrom/strand) that np.tile over .values would
-        # degrade to object; pd.concat([df]*nshifts) re-copies every block
-        ctrl = intervals2d.iloc[
-            np.tile(np.arange(len(intervals2d)), nshifts)
-        ].reset_index(drop=True)
-        n = ctrl.shape[0]
-        shift = rng.integers(self.minshift, self.maxshift, n) * rng.choice(
-            [-1, 1], n
+        # ROI + nshifts control copies in ONE positional take per column
+        # (dtype-preserving incl. categoricals; no concat re-copy)
+        n = len(intervals2d)
+        n_ctrl = n * nshifts
+        reps = np.concatenate([np.arange(n), np.tile(np.arange(n), nshifts)])
+        out = pd.DataFrame(
+            {
+                c: intervals2d[c].take(reps).reset_index(drop=True)
+                for c in intervals2d.columns
+            }
+        )
+        shift = rng.integers(self.minshift, self.maxshift, n_ctrl) * rng.choice(
+            [-1, 1], n_ctrl
         )
         if self.trans:
-            shift2 = rng.integers(self.minshift, self.maxshift, n) * rng.choice(
-                [-1, 1], n
-            )
+            shift2 = rng.integers(
+                self.minshift, self.maxshift, n_ctrl
+            ) * rng.choice([-1, 1], n_ctrl)
         else:
             shift2 = shift
-        for col in ("exp_start1", "exp_end1", "center1"):
-            ctrl[col] = ctrl[col] + shift
-        for col in ("exp_start2", "exp_end2", "center2"):
-            ctrl[col] = ctrl[col] + shift2
-        binshift1 = np.round(shift / res).astype(int)
-        binshift2 = np.round(shift2 / res).astype(int)
-        ctrl["stBin1"] = ctrl["stBin1"] + binshift1
-        ctrl["endBin1"] = ctrl["endBin1"] + binshift1
-        ctrl["stBin2"] = ctrl["stBin2"] + binshift2
-        ctrl["endBin2"] = ctrl["endBin2"] + binshift2
-        ctrl["kind"] = "control"
-        return pd.concat([intervals2d, ctrl]).reset_index(drop=True)
+        pad = np.zeros(n)
+        sh1 = np.concatenate([pad, shift])
+        sh2 = np.concatenate([pad, shift2])
+        for col, sh in (("exp_start1", sh1), ("exp_end1", sh1),
+                        ("center1", sh1), ("exp_start2", sh2),
+                        ("exp_end2", sh2), ("center2", sh2)):
+            out[col] = out[col] + sh
+        bsh1 = np.concatenate(
+            [pad.astype(int), np.round(shift / res).astype(int)]
+        )
+        bsh2 = np.concatenate(
+            [pad.astype(int), np.round(shift2 / res).astype(int)]
+        )
+        for col, sh in (("stBin1", bsh1), ("endBin1", bsh1),
+                        ("stBin2", bsh2), ("endBin2", bsh2)):
+            out[col] = out[col] + sh
+        out["kind"] = np.repeat(
+            np.array(["ROI", "control"], dtype=object), [n, n_ctrl]
+        )
+        return out
 
     # -- region filtering (reference coolpup.py:529–596) -------------------
 
@@ -565,12 +594,18 @@ class CoordCreator:
         for lo in range(0, len(li), self.chunk_size):
             ls = li[lo : lo + self.chunk_size]
             rs = ri[lo : lo + self.chunk_size]
-            combo = pd.concat(
-                [
-                    left.iloc[ls].reset_index(drop=True),
-                    right.iloc[rs].reset_index(drop=True),
-                ],
-                axis=1,
+            # per-column takes into a dict skip pandas block consolidation
+            # (measurably faster than concat of two iloc frames at 1M+ rows)
+            data = {
+                c + "1": iv[c].take(ls).reset_index(drop=True)
+                for c in iv.columns
+            }
+            data.update(
+                {
+                    c + "2": iv[c].take(rs).reset_index(drop=True)
+                    for c in iv.columns
+                }
             )
+            combo = pd.DataFrame(data)
             combo["distance"] = centers[rs] - centers[ls]
             yield self._finalize(combo, control, groupby, modify_func, rng)

@@ -381,6 +381,11 @@ class PileUpper:
         make_outmap, coolpup.py:1007–1022)."""
         return 2 * self.pad_bins + 1
 
+    def _on_accelerator(self):
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
+
     def _use_pallas(self, dev, W):
         """Route the hot path through the Pallas quad kernel whenever the
         backend supports it and the window fits a tile. Every non-rescale
@@ -977,13 +982,20 @@ class PileUpper:
                     window1=sub["h1"],
                     window2=sub["w2"],
                 )
+            if self.mesh is None and self._on_accelerator():
+                # two chunk shapes per extent bucket, ever: each (Hmax, S)
+                # combination is a fresh XLA compile (~minutes through this
+                # environment's tunnel; cached persistently afterwards)
+                S_sub = 256 if len(idx) <= 256 else 4096
+            else:
+                S_sub = self._chunk_size_for(len(idx), rescale=True)
             out = self._device_accumulate(
                 ts,
                 dev,
                 sub,
                 cid_dev[idx],
                 len(idx),
-                self._chunk_size_for(len(idx), rescale=True),
+                S_sub,
                 C,
                 None,
                 int(hb),
