@@ -88,6 +88,86 @@ def _separation_label(band):
     return f"{lo}Mb-\n{band[1] / 1_000_000}Mb"
 
 
+class _PallasStream:
+    """Single-pass streaming accumulator: the session's tile stack was built
+    from the distance-band predicate (no window coordinates needed), so snip
+    chunks dispatch asynchronously WHILE the host is still generating
+    coordinate frames — total wall approaches max(host, device) instead of
+    host + device."""
+
+    def __init__(self, session, tile_stack, half, chunk):
+        self.session = session
+        self.tile_stack = tile_stack
+        self.half = half
+        self.capacity = 2 * half
+        self.chunk = chunk
+        self._bufs = {k: [] for k in ("r1", "r2", "dd0", "cid")}
+        self._buffered = 0
+        self._total_dev = None
+        self.aborted = False
+
+    def feed(self, r1, r2, dd0, cid):
+        for key, arr in (("r1", r1), ("r2", r2), ("dd0", dd0), ("cid", cid)):
+            self._bufs[key].append(arr)
+        self._buffered += len(r1)
+        while self._buffered >= self.chunk:
+            self._dispatch(self.chunk)
+
+    def _take(self, n):
+        out = {}
+        for key, parts_list in self._bufs.items():
+            parts, got = [], 0
+            while got < n:
+                head = parts_list[0]
+                need = n - got
+                if len(head) <= need:
+                    parts.append(parts_list.pop(0))
+                    got += len(head)
+                else:
+                    parts.append(head[:need])
+                    parts_list[0] = head[need:]
+                    got = n
+            out[key] = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        self._buffered -= n
+        return out
+
+    def _dispatch(self, n):
+        import jax
+        import jax.numpy as jnp
+
+        take = self._take(n)
+        S = len(take["r1"])
+
+        def pad(a, fill):
+            if S == self.chunk:
+                return a
+            out = np.full(self.chunk, fill, a.dtype)
+            out[:S] = a
+            return out
+
+        out = self.session.run(
+            pad(take["r1"], 0),
+            pad(take["r2"], 0),
+            pad(take["dd0"], 0),
+            pad(take["cid"], self.capacity),  # padding -> trash slot
+            fetch=False,
+        )
+        self._total_dev = (
+            out
+            if self._total_dev is None
+            else jax.tree.map(jnp.add, self._total_dev, out)
+        )
+
+    def finish(self):
+        """Dispatch the tail and block; returns [capacity, ...] totals."""
+        if self._buffered:
+            self._dispatch(self._buffered)
+        if self._total_dev is None:
+            return None
+        total = self.session.finalize([self._total_dev])
+        return {k: v[: self.capacity] for k, v in total.items()}
+
+
 class PileUpper:
     """See reference coolpup.py:752–836 for parameter semantics; the
     constructor surface is the same, plus device knobs (chunk_size,
@@ -386,6 +466,49 @@ class PileUpper:
 
         return jax.devices()[0].platform != "cpu"
 
+    def _open_pallas_stream(self, dev, W):
+        """Create a band-predicate pallas session for single-pass streaming
+        (cis only): every tile within |row-col| <= band is staged on device
+        BEFORE any coordinates exist. Returns None when the band would be too
+        big (unbounded maxdist on a large region) — the collected two-phase
+        path handles those."""
+        from ..ops.pallas_gather import PALLAS_B, PallasPileupSession
+
+        n1 = int(dev["n1"])
+        if np.isfinite(self.maxdist):
+            band_bins = min(
+                int(self.maxdist // self.resolution) + W + 8, n1
+            )
+        else:
+            band_bins = n1
+        n_tile_rows = -(-n1 // PALLAS_B)
+        est_tiles = n_tile_rows * (2 * (band_bins // PALLAS_B + 1) + 1)
+        if est_tiles > 6144:  # ~800MB of normalized stacks: fall back
+            return None
+        interpret = self.backend == "pallas-interpret"
+        # must mirror _pallas_accumulate's capacity pinning so a fallback
+        # after abort reuses the same compiled shapes
+        half = 512
+        if interpret:
+            half = min(half, getattr(self, "_pallas_block_groups", 512))
+        tile_stack = build_tile_stack_slab(dev["slab"], PALLAS_B, band=band_bins)
+        session = PallasPileupSession(
+            tile_stack,
+            dev["valid1"],
+            dev["valid2"],
+            dev["evec"],
+            dict(
+                W=W,
+                capacity=2 * half + 8,
+                cis=dev["cis"],
+                ignore_diags=int(self.ignore_diags),
+                ooe=bool(self.expected and self.ooe),
+                interpret=interpret,
+            ),
+        )
+        chunk = 256 if interpret else 65536
+        return _PallasStream(session, tile_stack, half, chunk)
+
     def _use_pallas(self, dev, W):
         """Route the hot path through the Pallas quad kernel whenever the
         backend supports it and the window fits a tile. Every non-rescale
@@ -487,6 +610,15 @@ class PileUpper:
 
         timers = self._timers
 
+        use_pallas = (not self.rescale) and self._use_pallas(dev, W)
+        # single-pass streaming (cis + pallas): the band tile stack needs no
+        # window coordinates, so dispatches overlap the host collection below
+        stream = None
+        if use_pallas and region2 == region1:
+            tctx = timers.phase("tiles") if timers else contextlib.nullcontext()
+            with tctx:
+                stream = self._open_pallas_stream(dev, W)
+
         # -- phase 1: host coordinate collection -----------------------
         cols = {k: [] for k in ("r1", "r2", "dd0", "cidl", "flip", "h1", "w2")}
         coord_strs = []
@@ -555,6 +687,21 @@ class PileUpper:
             cols["cidl"].append(ucid[inv])
             cols["h1"].append(h1)
             cols["w2"].append(w2)
+            if stream is not None and not stream.aborted:
+                if len(cid_of) > stream.half:
+                    # more groups than the streaming capacity (by-window):
+                    # discard streamed work, the blocked path runs after
+                    stream.aborted = True
+                else:
+                    stream.feed(
+                        cols["r1"][-1],
+                        cols["r2"][-1],
+                        cols["dd0"][-1],
+                        (
+                            cols["cidl"][-1]
+                            + stream.half * cols["flip"][-1]
+                        ).astype(np.int32),
+                    )
             if self.store_stripes:
                 coord_strs.extend(
                     ".".join(str(v) for v in row)
@@ -595,8 +742,6 @@ class PileUpper:
             dev_ctx = (
                 timers.phase("device") if timers else contextlib.nullcontext()
             )
-            use_pallas = (not self.rescale) and self._use_pallas(dev, W)
-
             if self.rescale:
                 with dev_ctx:
                     out_total = self._rescale_accumulate(
@@ -611,6 +756,24 @@ class PileUpper:
                         large_g,
                     )
                 out_total = merge_flip_banks(out_total, Chalf)
+            elif use_pallas and stream is not None and not stream.aborted:
+                # streamed: chunks already dispatched during collection
+                with dev_ctx:
+                    streamed = stream.finish()
+                    merged = merge_flip_banks(streamed, stream.half)
+                    out_total = {k: v[:G] for k, v in merged.items()}
+                    self._pallas_side_outputs(
+                        stream.session,
+                        stream.tile_stack,
+                        dev,
+                        arr,
+                        ntot,
+                        W,
+                        G,
+                        emit_expected,
+                        coverage,
+                        out_total,
+                    )
             elif use_pallas:
                 with tile_ctx:
                     from ..ops.pallas_gather import PALLAS_B
@@ -870,6 +1033,29 @@ class PileUpper:
                 for k, v in merged.items():
                     out[k][base : base + span] = v[:span]
 
+        self._pallas_side_outputs(
+            session, tile_stack, dev, arr, ntot, W, G, emit_expected,
+            coverage, out,
+        )
+        return out
+
+    def _pallas_side_outputs(
+        self, session, tile_stack, dev, arr, ntot, W, G, emit_expected,
+        coverage, out,
+    ):
+        """Cheap exact side computations beside the quad kernel: coverage
+        scatter-add, expected-emission toeplitz histogram, per-snip stripe
+        gathers from the session's normalized device tiles."""
+        import jax
+
+        from ..ops.gather import (
+            expected_toeplitz_sums,
+            make_cov_step,
+            make_stripe_step,
+        )
+        from ..ops.pallas_gather import PALLAS_B
+
+        cidl = arr["cidl"]
         if coverage:
             cap = max(8, _next_pow2(G))
             pad_n = max(256, _next_pow2(ntot))
@@ -929,7 +1115,6 @@ class PileUpper:
             out["vertical_stripe"] = np.concatenate(
                 [np.asarray(v, np.float64)[:S] for v, S in vs_parts]
             )
-        return out
 
     def _chunk_size_for(self, ntot, rescale=False):
         """Fixed pow2 device chunk size (bounded working set, one compiled
@@ -1060,8 +1245,12 @@ class PileUpper:
 
         else:
             put = jax.device_put
-        tiles_dev = put(tile_stack.tiles)
-        tmap_dev = put(tile_stack.tile_map.ravel())
+        # pow2-pad the stack depth and tile-map length: both ride the jitted
+        # step's input signature, and raw sizes would retrace per region
+        from ..ops.gather import pad_pow2
+
+        tiles_dev = put(pad_pow2(tile_stack.tiles, axis=0))
+        tmap_dev = put(pad_pow2(tile_stack.tile_map.ravel()))
         ncolp = np.int32(tile_stack.tile_map.shape[1])
         common = tuple(
             put(x)

@@ -240,11 +240,29 @@ class PallasPileupSession:
         import jax
 
         from ..jax_setup import ensure_jax_cache
+        from .tiles import TileStack
 
         ensure_jax_cache()
 
         B = tile_stack.B
         assert B == PALLAS_B
+        # pad the stack depth to pow2: K rides the kernel's input signature,
+        # so a raw K would force one Mosaic recompile per region (padding
+        # slots are never referenced by tile_map)
+        K1 = tile_stack.tiles.shape[0]
+        K_pad = max(64, 1 << int(np.ceil(np.log2(max(1, K1)))))
+        if K_pad != K1:
+            tile_stack = TileStack(
+                tiles=np.concatenate(
+                    [
+                        tile_stack.tiles,
+                        np.zeros((K_pad - K1, B, B), np.float32),
+                    ]
+                ),
+                tile_map=tile_stack.tile_map,
+                B=B,
+                shape=tile_stack.shape,
+            )
         self.tile_stack = tile_stack
         cfg_kw = dict(cfg_kw)
         ooe = cfg_kw.pop("ooe", False)

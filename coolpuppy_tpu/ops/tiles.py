@@ -111,16 +111,40 @@ def build_tile_stack(coo, B, r1=None, r2=None, window1=None, window2=None):
     return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
 
 
-def build_tile_stack_slab(slab, B, r1=None, r2=None, window1=None, window2=None):
+def band_tiles(max_diag_bins, B, shape):
+    """All (tile_row, tile_col) ids within ``max_diag_bins`` of the diagonal —
+    the tile predicate that needs NO window coordinates, enabling the
+    streaming engine path (windows arrive while the stack already sits on
+    device). A tile is included when any of its pixels can satisfy
+    |row - col| <= max_diag_bins."""
+    n1, n2 = shape
+    nr, nc = -(-n1 // B), -(-n2 // B)
+    k = int(max_diag_bins) // B + 1
+    t1 = np.repeat(np.arange(nr, dtype=np.int64), 2 * k + 1)
+    t2 = t1 + np.tile(np.arange(-k, k + 1, dtype=np.int64), nr)
+    keep = (t2 >= 0) & (t2 < nc)
+    pairs = t1[keep] * nc + t2[keep]
+    return np.sort(pairs), nr, nc
+
+
+def build_tile_stack_slab(
+    slab, B, r1=None, r2=None, window1=None, window2=None, band=None
+):
     """Scatter a stored-triangle PixelSlab (io/cool.py::fetch_slab) into a
     TileStack in ONE fused pass: balancing weights and the symmetric mirror
     are folded into the native scatter, so the mirrored/balanced COO the
     reference materializes (coolpup.py:1053–1057) never exists on the host.
-    Falls back to fetch_coo-equivalent numpy when the native lib is absent."""
+    Falls back to fetch_coo-equivalent numpy when the native lib is absent.
+
+    Tiles to materialize come from the window list (r1/r2/window sizes), or
+    from a diagonal band predicate (``band`` = max |row-col| in bins) when
+    the windows are not known yet (streaming path)."""
     n1, n2 = slab.shape
     nr, nc = -(-n1 // B), -(-n2 // B)
 
-    if r1 is not None:
+    if band is not None:
+        want, nr, nc = band_tiles(band, B, (n1, n2))
+    elif r1 is not None:
         want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
     else:
         lr = slab.rows - slab.lo1
