@@ -303,9 +303,10 @@ class PallasPileupSession:
         nq = len(quads["qstart"])
         # PIN Q on hardware: every distinct kernel shape costs a full Mosaic
         # compile (minutes through a remote compile service), while an empty
-        # quad slot costs one skipped grid step (~us). 4096 covers any real
-        # region; interpret mode (CPU tests) keeps small shapes instead.
-        q_floor = 256 if self.cfg_kw.get("interpret") else 4096
+        # quad slot costs one skipped grid step (~30us). 1024 covers typical
+        # regions (one shape ever); bigger runs step up in pow2 (cached).
+        # Interpret mode (CPU tests) keeps small shapes instead.
+        q_floor = 256 if self.cfg_kw.get("interpret") else 1024
         Q = 1 << int(np.ceil(np.log2(max(q_floor, nq))))
         quads = pad_quads(quads, Q)
         cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
