@@ -921,12 +921,7 @@ class PileUpper:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.gather import (
-            expected_toeplitz_sums,
-            make_cov_step,
-            make_stripe_step,
-        )
-        from ..ops.pallas_gather import PALLAS_B, PallasPileupSession
+        from ..ops.pallas_gather import PallasPileupSession
 
         cidl = arr["cidl"]
         flip = arr["flip"]
