@@ -703,17 +703,16 @@ class PileUpper:
                         ).astype(np.int32),
                     )
             if self.store_stripes:
-                coord_strs.extend(
-                    ".".join(str(v) for v in row)
-                    for row in zip(
-                        chunk["chrom1"],
-                        chunk["start1"],
-                        chunk["end1"],
-                        chunk["chrom2"],
-                        chunk["start2"],
-                        chunk["end2"],
-                    )
+                # vectorized string build (a per-row join dominated stripe
+                # runs at millions of snips)
+                coord_series = chunk["chrom1"].astype(str).str.cat(
+                    [
+                        chunk[c].astype(str)
+                        for c in ("start1", "end1", "chrom2", "start2", "end2")
+                    ],
+                    sep=".",
                 )
+                coord_strs.extend(coord_series.tolist())
 
         ntot = sum(len(a) for a in cols["r1"])
         acc = {}
