@@ -1274,12 +1274,16 @@ class PileUpper:
             snipmask = np.zeros(S_sub, bool)
             snipmask[:S] = True
             if rescale:
+                # block shrinks with extent: per-block superwindow memory is
+                # block × (2·Hmax)² — large-extent buckets otherwise produce
+                # gigantic fused programs (compile-service failures observed)
+                blk = min(64, max(8, 4096 // max(1, hmax)), S_dev)
                 cfg = RescaleConfig(
                     R=self.rescale_size,
                     Hmax=hmax,
                     B=B,
                     S=S_dev,
-                    block=min(64, S_dev),
+                    block=blk,
                     capacity=C,
                     cis=dev["cis"],
                     ignore_diags=int(self.ignore_diags),
