@@ -799,23 +799,54 @@ class PileUpper:
                         window1=W,
                         window2=W,
                     )
-                S_sub = self._chunk_size_for(ntot)
-                with dev_ctx:
-                    out_total = self._device_accumulate(
-                        tile_stack,
-                        dev,
-                        arr,
-                        cid_dev,
-                        ntot,
-                        S_sub,
-                        C,
-                        W,
-                        B,
-                        use_expected,
-                        emit_expected,
-                        coverage,
-                        large_g,
-                    )
+                out_total = None
+                if (
+                    self.mesh is not None
+                    and dict(self.mesh.shape).get("loci", 1) > 1
+                ):
+                    # row-partitioned tiles + ppermute halo exchange: each
+                    # device's HBM holds only its tile-row band
+                    with (
+                        timers.phase("device")
+                        if timers
+                        else contextlib.nullcontext()
+                    ):
+                        out_total = self._rowshard_accumulate(
+                            tile_stack,
+                            dev,
+                            arr,
+                            cid_dev,
+                            ntot,
+                            C,
+                            W,
+                            B,
+                            use_expected,
+                            emit_expected,
+                            coverage,
+                            large_g,
+                        )
+                if out_total is None:
+                    S_sub = self._chunk_size_for(ntot)
+                    with (
+                        timers.phase("device")
+                        if timers
+                        else contextlib.nullcontext()
+                    ):
+                        out_total = self._device_accumulate(
+                            tile_stack,
+                            dev,
+                            arr,
+                            cid_dev,
+                            ntot,
+                            S_sub,
+                            C,
+                            W,
+                            B,
+                            use_expected,
+                            emit_expected,
+                            coverage,
+                            large_g,
+                        )
                 out_total = merge_flip_banks(out_total, Chalf)
             for k, v in out_total.items():
                 if k in ("horizontal_stripe", "vertical_stripe"):
@@ -1195,6 +1226,125 @@ class PileUpper:
             total = (
                 out if total is None else {k: total[k] + out[k] for k in out}
             )
+        if self.store_stripes:
+            total["horizontal_stripe"] = stripes_h
+            total["vertical_stripe"] = stripes_v
+        return total
+
+    def _rowshard_accumulate(
+        self,
+        tile_stack,
+        dev,
+        arr,
+        cid_dev,
+        ntot,
+        C,
+        W,
+        B,
+        use_expected,
+        emit_expected,
+        coverage,
+        large_g,
+    ):
+        """Row-partitioned mesh execution (parallel/rowshard.py): the region's
+        tile stack is split into per-device tile-row bands, snips route to the
+        device owning their start row, and the one boundary tile-row a window
+        can straddle moves between neighbors via an in-program ppermute halo
+        exchange — per-device matrix HBM is O(region / n_devices), the
+        multi-device analog of the reference's whole-CSR-per-worker memory
+        model (reference coolpup.py:1053–1077). Returns None when the region
+        is too small to band (fewer tile rows than devices); the caller falls
+        back to replicated tiles."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.rowshard import (
+            build_row_partition,
+            make_row_sharded_step,
+            route_snips,
+        )
+
+        n = int(dict(self.mesh.shape)["loci"])
+        part = build_row_partition(tile_stack, arr["r1"], n)
+        if part is None:
+            return None
+        self._rowshard_regions = getattr(self, "_rowshard_regions", 0) + 1
+        order, counts = route_snips(part, arr["r1"])
+        maxcnt = int(counts.max())
+        S_dev = min(16384, max(256, _next_pow2(maxcnt)))
+        cfg = GatherConfig(
+            W=W,
+            B=B,
+            S=S_dev,
+            block=min(512, S_dev),
+            capacity=C,
+            cis=dev["cis"],
+            ignore_diags=int(self.ignore_diags),
+            ooe=bool(use_expected and self.ooe),
+            emit_expected=emit_expected,
+            coverage=coverage,
+            stripes=bool(self.store_stripes),
+            large_g=large_g,
+        )
+        step = make_row_sharded_step(cfg, self.mesh)
+
+        shard = NamedSharding(self.mesh, PartitionSpec("loci"))
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        tiles_dev = jax.device_put(part.tiles, shard)
+        send_dev = jax.device_put(part.send_idx, shard)
+        tmap_dev = jax.device_put(part.tile_map, shard)
+        common = tuple(
+            jax.device_put(x, rep)
+            for x in (
+                dev["evec"],
+                dev["valid1"],
+                dev["valid2"],
+                dev["cov1"],
+                dev["cov2"],
+            )
+        )
+
+        dev_items = np.split(order, np.cumsum(counts)[:-1])
+        total = None
+        stripes_h = stripes_v = None
+        if self.store_stripes:
+            stripes_h = np.full((ntot, W), np.nan)
+            stripes_v = np.full((ntot, W), np.nan)
+        for c in range(-(-maxcnt // S_dev)):
+            r1c = np.zeros((n, S_dev), arr["r1"].dtype)
+            r2c = np.zeros((n, S_dev), arr["r2"].dtype)
+            dd0c = np.zeros((n, S_dev), arr["dd0"].dtype)
+            cidc = np.zeros((n, S_dev), cid_dev.dtype)
+            smc = np.zeros((n, S_dev), bool)
+            sels = []
+            for d in range(n):
+                sel = dev_items[d][c * S_dev : (c + 1) * S_dev]
+                sels.append(sel)
+                m = len(sel)
+                if m:
+                    r1c[d, :m] = arr["r1"][sel]
+                    r2c[d, :m] = arr["r2"][sel]
+                    dd0c[d, :m] = arr["dd0"][sel]
+                    cidc[d, :m] = cid_dev[sel]
+                    smc[d, :m] = True
+            out = step(
+                tiles_dev, send_dev, tmap_dev, part.ncolp, *common,
+                r1c, r2c, dd0c, cidc, smc,
+            )
+            if self.store_stripes:
+                h = np.asarray(out.pop("horizontal_stripe"), np.float64)
+                v = np.asarray(out.pop("vertical_stripe"), np.float64)
+                for d, sel in enumerate(sels):
+                    if len(sel):
+                        stripes_h[sel] = h[d * S_dev : d * S_dev + len(sel)]
+                        stripes_v[sel] = v[d * S_dev : d * S_dev + len(sel)]
+            total = (
+                out if total is None else jax.tree.map(jnp.add, total, out)
+            )
+        if total is None:
+            return None
+        total = {k: np.asarray(v, np.float64) for k, v in total.items()}
         if self.store_stripes:
             total["horizontal_stripe"] = stripes_h
             total["vertical_stripe"] = stripes_v

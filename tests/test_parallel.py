@@ -137,6 +137,158 @@ def test_engine_mesh_equals_single(tmp_path):
         )
 
 
+def test_rowsharded_step_equals_single():
+    """Row-partitioned tiles + ppermute halo exchange == single-device step
+    on the same snip workload, with per-device tile memory a fraction of the
+    global stack (the row-partitioned-CSR + halo-exchange model of SURVEY
+    §2c / BASELINE's north star)."""
+    from scipy import sparse
+
+    from coolpuppy_tpu.ops.tiles import build_tile_stack
+    from coolpuppy_tpu.parallel import (
+        build_row_partition,
+        make_row_sharded_step,
+        route_snips,
+    )
+
+    rng = np.random.default_rng(11)
+    n_bins, B, W, S = 1024, 64, 11, 512
+    ij = rng.integers(0, n_bins, (2, 6000))
+    mat = sparse.coo_matrix(
+        (rng.gamma(1.0, 1.0, 6000), (ij[0], ij[1])), shape=(n_bins, n_bins)
+    )
+    r1 = rng.integers(0, n_bins - W, S).astype(np.int32)
+    r2 = np.clip(
+        r1 + rng.integers(-300, 300, S), 0, n_bins - W
+    ).astype(np.int32)
+    dd0 = (r1 - r2).astype(np.int32)
+    cid = rng.integers(0, 8, S).astype(np.int32)
+    ts = build_tile_stack(mat, B, r1=r1, r2=r2, window1=W, window2=W)
+
+    mesh = make_loci_mesh(jax.devices())
+    n = mesh.shape["loci"]
+    part = build_row_partition(ts, r1, n)
+    assert part is not None
+    # the memory claim: every device holds a band, not the region
+    assert part.tiles[0].nbytes < ts.tiles.nbytes
+    assert sum(
+        int((part.tile_map[d] > 0).sum()) for d in range(n)
+    ) >= ts.n_tiles  # own entries cover the stack (halo entries add more)
+
+    order, counts = route_snips(part, r1)
+    assert counts.sum() == S
+    S_dev = 128
+    assert counts.max() <= S_dev
+
+    evec = np.linspace(1.0, 0.1, 2 * n_bins).astype(np.float32)
+    valid = (rng.random(n_bins + B) > 0.05).astype(np.float32)
+    cov = rng.random(n_bins + B).astype(np.float32)
+
+    cfg = GatherConfig(
+        W=W, B=B, S=S_dev, block=64, capacity=8, cis=True, ignore_diags=2,
+        ooe=True, emit_expected=False, coverage=True, stripes=True,
+    )
+    step = make_row_sharded_step(cfg, mesh)
+    r1c = np.zeros((n, S_dev), np.int32)
+    r2c = np.zeros((n, S_dev), np.int32)
+    dd0c = np.zeros((n, S_dev), np.int32)
+    cidc = np.zeros((n, S_dev), np.int32)
+    smc = np.zeros((n, S_dev), bool)
+    dev_items = np.split(order, np.cumsum(counts)[:-1])
+    for d in range(n):
+        sel = dev_items[d]
+        r1c[d, : len(sel)] = r1[sel]
+        r2c[d, : len(sel)] = r2[sel]
+        dd0c[d, : len(sel)] = dd0[sel]
+        cidc[d, : len(sel)] = cid[sel]
+        smc[d, : len(sel)] = True
+    out = step(
+        part.tiles, part.send_idx, part.tile_map, part.ncolp,
+        evec, valid, valid, cov, cov, r1c, r2c, dd0c, cidc, smc,
+    )
+
+    cfg1 = GatherConfig(
+        W=W, B=B, S=S, block=64, capacity=8, cis=True, ignore_diags=2,
+        ooe=True, emit_expected=False, coverage=True, stripes=True,
+    )
+    from coolpuppy_tpu.ops.gather import pad_pow2
+
+    want = make_pileup_step(cfg1)(
+        ts.tiles, pad_pow2(ts.tile_map.ravel()),
+        np.int32(ts.tile_map.shape[1]),
+        evec, valid, valid, cov, cov,
+        r1, r2, dd0, cid, np.ones(S, bool),
+    )
+    for k in ("sum", "num", "poison", "cov_start", "cov_end"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(want[k]), rtol=2e-4, atol=1e-5
+        )
+    # per-snip stripes: routed order out, invert via the routing permutation
+    h = np.asarray(out["horizontal_stripe"])
+    hs = np.full((S, W), np.nan)
+    for d, sel in enumerate(dev_items):
+        hs[sel] = h[d * S_dev : d * S_dev + len(sel)]
+    np.testing.assert_allclose(
+        np.nan_to_num(hs),
+        np.nan_to_num(np.asarray(want["horizontal_stripe"])),
+        rtol=2e-4,
+        atol=1e-5,
+    )
+
+
+def test_engine_mesh_uses_rowshard(tmp_path):
+    """The PRODUCTION engine routes mesh regions through the row-partitioned
+    path and matches the single-device result (a 600-bin region spans 10
+    tile rows at B=64, enough to band over 8 devices — no fallback)."""
+    import pandas as pd
+
+    from coolpuppy_tpu.coords import CoordCreator
+    from coolpuppy_tpu.engine.pileup import PileUpper
+
+    binsize = 100_000
+    clr, dense, weights = make_toy_cooler(
+        str(tmp_path / "t3.cool"),
+        chromsizes={"chrA": 60_000_000},
+        binsize=binsize,
+        seed=13,
+    )
+    rng = np.random.default_rng(4)
+    starts = np.sort(rng.choice(np.arange(60, 540), 40, replace=False))
+    feats = pd.DataFrame(
+        {
+            "chrom": ["chrA"] * 40,
+            "start": starts * binsize,
+            "end": (starts + 1) * binsize,
+            "name": ["x"] * 40,
+            "score": [0] * 40,
+            "strand": rng.choice(["+", "-"], 40),
+        }
+    )
+
+    def make_pu(mesh):
+        CC = CoordCreator(
+            features=feats,
+            resolution=binsize,
+            features_format="bed",
+            flank=5 * binsize,
+            mindist=0,
+            nshifts=0,
+            seed=0,
+        )
+        return PileUpper(clr, CC, mesh=mesh, backend="xla")
+
+    mesh = make_loci_mesh(jax.devices())
+    pu_mesh = make_pu(mesh)
+    meshed = pu_mesh.pileupsWithControl()
+    assert getattr(pu_mesh, "_rowshard_regions", 0) > 0
+
+    single = make_pu(None).pileupsWithControl()
+    a = single.set_index("group").loc["all"]
+    b = meshed.set_index("group").loc["all"]
+    assert a["n"] == b["n"] > 0
+    np.testing.assert_allclose(a["data"], b["data"], rtol=1e-4, atol=1e-7)
+
+
 def test_engine_mesh_stripes_and_expected(tmp_path):
     """Mesh parity on the stripes path (per-snip sharded outputs) with
     expected normalization."""
