@@ -443,12 +443,63 @@ def bench_scaling(n_loci=262_144, W=21, seed=0):
             jax.block_until_ready(step(*args))
             best = min(best, time.time() - t0)
         rates[n] = n_loci / best
+    # row-partitioned tiles + ppermute halo exchange (parallel/rowshard.py):
+    # same workload, but each device holds only its tile-row band — measure
+    # throughput retention AND the per-device tile-memory reduction
+    from coolpuppy_tpu.parallel.rowshard import (
+        build_row_partition,
+        make_row_sharded_step,
+        route_snips,
+    )
+
+    row_rates = {}
+    row_mem_frac = {}
+    for n in sizes:
+        mesh = make_loci_mesh(devices[:n])
+        part = build_row_partition(ts, r1, n)
+        if part is None:
+            continue
+        order, counts = route_snips(part, r1)
+        maxcnt = int(counts.max())
+        # pad the per-device shard to the scan-block multiple, not pow2 —
+        # a max count just past a power of two would double the padded work
+        S_dev = max(1024, -(-maxcnt // 1024) * 1024)
+        cfg = GatherConfig(
+            W=W, B=B, S=S_dev, block=min(1024, S_dev),
+            capacity=8, cis=True, ignore_diags=2, ooe=True,
+            emit_expected=False, coverage=False, stripes=False,
+        )
+        step = make_row_sharded_step(cfg, mesh)
+        dev_items = np.split(order, np.cumsum(counts)[:-1])
+        r1c = np.zeros((n, S_dev), np.int32)
+        r2c = np.zeros((n, S_dev), np.int32)
+        dd0c = np.zeros((n, S_dev), np.int32)
+        cidc = np.zeros((n, S_dev), np.int32)
+        smc = np.zeros((n, S_dev), bool)
+        for d in range(n):
+            sel = dev_items[d]
+            r1c[d, : len(sel)] = r1[sel]
+            r2c[d, : len(sel)] = r2[sel]
+            dd0c[d, : len(sel)] = dd0[sel]
+            cidc[d, : len(sel)] = gid[sel]
+            smc[d, : len(sel)] = True
+        args = (part.tiles, part.send_idx, part.tile_map, part.ncolp,
+                evecp, validp, validp, cov, cov, r1c, r2c, dd0c, cidc, smc)
+        jax.block_until_ready(step(*args))  # compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(step(*args))
+            best = min(best, time.time() - t0)
+        row_rates[n] = n_loci / best
+        row_mem_frac[n] = part.tiles[0].nbytes / ts.tiles.nbytes
     # virtual CPU devices share one host's cores (total compute is FIXED), so
     # the measurable quantity is throughput RETENTION under n-way sharding:
     # 1 - (collective + partitioning overhead). On real chips, per-device
     # compute multiplies by n on top of this retention.
     retention = {n: rates[n] / rates[1] for n in sizes}
-    return rates, retention
+    row_retention = {n: row_rates[n] / rates[1] for n in row_rates}
+    return rates, retention, row_retention, row_mem_frac
 
 
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
@@ -531,7 +582,7 @@ def main():
         # this image's jax ignores JAX_PLATFORMS when the axon plugin is
         # present; force CPU through the config API
         jax.config.update("jax_platforms", "cpu")
-        rates, retention = bench_scaling()
+        rates, retention, row_retention, row_mem_frac = bench_scaling()
         top = max(retention)
         print(
             json.dumps(
@@ -554,6 +605,14 @@ def main():
                         },
                         "retention": {
                             str(k): round(v, 3) for k, v in retention.items()
+                        },
+                        "rowshard_retention": {
+                            str(k): round(v, 3)
+                            for k, v in row_retention.items()
+                        },
+                        "rowshard_tile_mem_frac": {
+                            str(k): round(v, 3)
+                            for k, v in row_mem_frac.items()
                         },
                     },
                 }
