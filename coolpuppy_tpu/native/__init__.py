@@ -30,6 +30,7 @@ if os.path.exists(_SO):
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float),
         ]
@@ -41,8 +42,23 @@ if os.path.exists(_SO):
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        for _name in ("tile_scatter_i32f32", "tile_scatter_i32f64"):
+            getattr(_lib, _name).argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(
+                    ctypes.c_float if _name.endswith("f32") else ctypes.c_double
+                ),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
         _lib.enumerate_pairs.restype = ctypes.c_int64
         _lib.enumerate_pairs.argtypes = [
             ctypes.POINTER(ctypes.c_double),
@@ -55,20 +71,35 @@ if os.path.exists(_SO):
         ]
 
         def tile_scatter(rows, cols, vals, tile_map, B, K, nc):  # noqa: F811
-            """COO -> [K+1, B, B] f32 tile stack (see ops/tiles.py)."""
-            rows = np.ascontiguousarray(rows, np.int64)
-            cols = np.ascontiguousarray(cols, np.int64)
-            vals = np.ascontiguousarray(vals, np.float64)
+            """COO -> [K+1, B, B] f32 tile stack (see ops/tiles.py). Picks
+            the dtype-matched native entry so scipy's int32/float32 COO
+            arrays scatter without conversion copies."""
+            rows = np.ascontiguousarray(rows)
+            cols = np.ascontiguousarray(cols)
+            vals = np.ascontiguousarray(vals)
             tm = np.ascontiguousarray(tile_map, np.int32)
             out = np.zeros((K + 1, B, B), np.float32)
-            _lib.tile_scatter(
-                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            if rows.dtype == np.int32 and cols.dtype == np.int32:
+                if vals.dtype == np.float32:
+                    fn, vt = _lib.tile_scatter_i32f32, ctypes.c_float
+                else:
+                    vals = np.ascontiguousarray(vals, np.float64)
+                    fn, vt = _lib.tile_scatter_i32f64, ctypes.c_double
+                it = ctypes.c_int32
+            else:
+                rows = np.ascontiguousarray(rows, np.int64)
+                cols = np.ascontiguousarray(cols, np.int64)
+                vals = np.ascontiguousarray(vals, np.float64)
+                fn, vt, it = _lib.tile_scatter, ctypes.c_double, ctypes.c_int64
+            fn(
+                rows.ctypes.data_as(ctypes.POINTER(it)),
+                cols.ctypes.data_as(ctypes.POINTER(it)),
+                vals.ctypes.data_as(ctypes.POINTER(vt)),
                 ctypes.c_int64(len(rows)),
                 tm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.c_int64(tm.shape[1]),
                 ctypes.c_int64(B),
+                ctypes.c_int64(K),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
             return out
@@ -102,6 +133,7 @@ if os.path.exists(_SO):
                 tm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.c_int64(tm.shape[1]),
                 ctypes.c_int64(B),
+                ctypes.c_int64(K),
                 ctypes.c_int32(1 if mirror else 0),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )

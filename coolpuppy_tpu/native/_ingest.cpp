@@ -10,26 +10,92 @@
 
 #include <cstdint>
 #include <cstring>
-
-extern "C" {
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 // Scatter nnz COO entries into a zeroed tile stack [K+1, B, B] (f32).
 // tile_map is the dense [tm_rows, tm_cols] grid -> stack index (0 = skip).
-void tile_scatter(const int64_t* rows, const int64_t* cols, const double* vals,
-                  int64_t nnz, const int32_t* tile_map, int64_t tm_cols,
-                  int64_t B, float* out) {
+//
+// Threads accumulate into private copies of the stack and merge at the end —
+// float atomic adds on the shared stack cost ~2x at 12M nnz. The private
+// copies are worth it only while the stack is small relative to nnz work;
+// large stacks (rare: huge unbanded regions) fall back to atomics.
+template <typename I, typename V>
+static void tile_scatter_impl(const I* rows, const I* cols, const V* vals,
+                              int64_t nnz, const int32_t* tile_map,
+                              int64_t tm_cols, int64_t B, int64_t K,
+                              float* out) {
+  const int64_t stack = (K + 1) * B * B;
+#ifdef _OPENMP
+  const bool priv = stack * (int64_t)sizeof(float) < (int64_t)128 << 20 &&
+                    nnz > stack / 4;
+#else
+  const bool priv = false;
+#endif
+  if (!priv) {
 #pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < nnz; i++) {
-    const int64_t tr = rows[i] / B;
-    const int64_t tc = cols[i] / B;
-    const int32_t k = tile_map[tr * tm_cols + tc];
-    if (k > 0) {
-      float* cell =
-          out + ((int64_t)k * B + (rows[i] - tr * B)) * B + (cols[i] - tc * B);
+    for (int64_t i = 0; i < nnz; i++) {
+      const int64_t tr = (int64_t)rows[i] / B;
+      const int64_t tc = (int64_t)cols[i] / B;
+      const int32_t k = tile_map[tr * tm_cols + tc];
+      if (k > 0) {
+        float* cell = out + ((int64_t)k * B + ((int64_t)rows[i] - tr * B)) * B +
+                      ((int64_t)cols[i] - tc * B);
 #pragma omp atomic
-      *cell += (float)vals[i];
+        *cell += (float)vals[i];
+      }
+    }
+    return;
+  }
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    float* buf = t == 0 ? out : new float[stack]();
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < nnz; i++) {
+      const int64_t tr = (int64_t)rows[i] / B;
+      const int64_t tc = (int64_t)cols[i] / B;
+      const int32_t k = tile_map[tr * tm_cols + tc];
+      if (k > 0) {
+        buf[((int64_t)k * B + ((int64_t)rows[i] - tr * B)) * B +
+            ((int64_t)cols[i] - tc * B)] += (float)vals[i];
+      }
+    }
+    if (t != 0) {
+#pragma omp critical
+      {
+        for (int64_t j = 0; j < stack; j++) out[j] += buf[j];
+      }
+      delete[] buf;
     }
   }
+#endif
+}
+
+extern "C" {
+
+void tile_scatter(const int64_t* rows, const int64_t* cols, const double* vals,
+                  int64_t nnz, const int32_t* tile_map, int64_t tm_cols,
+                  int64_t B, int64_t K, float* out) {
+  tile_scatter_impl(rows, cols, vals, nnz, tile_map, tm_cols, B, K, out);
+}
+
+// scipy's native COO dtypes (int32 indices, float32 data) — scatter without
+// the 200 MB of dtype-conversion copies the generic entry would force
+void tile_scatter_i32f32(const int32_t* rows, const int32_t* cols,
+                         const float* vals, int64_t nnz,
+                         const int32_t* tile_map, int64_t tm_cols, int64_t B,
+                         int64_t K, float* out) {
+  tile_scatter_impl(rows, cols, vals, nnz, tile_map, tm_cols, B, K, out);
+}
+
+void tile_scatter_i32f64(const int32_t* rows, const int32_t* cols,
+                         const double* vals, int64_t nnz,
+                         const int32_t* tile_map, int64_t tm_cols, int64_t B,
+                         int64_t K, float* out) {
+  tile_scatter_impl(rows, cols, vals, nnz, tile_map, tm_cols, B, K, out);
 }
 
 // Fused triangle scatter: one pass over the STORED (upper-triangle) pixels of
@@ -42,11 +108,56 @@ void tile_scatter(const int64_t* rows, const int64_t* cols, const double* vals,
 // [lo1, lo1+n1), cols in [lo2, lo2+n2). w (global per-bin, NaN already
 // cleaned to 0) may be NULL for unbalanced. mirror!=0 additionally scatters
 // the transposed pixel (cis same-extent fetches, skipping the diagonal).
+static inline void scatter_one_wtri(int64_t gr, int64_t gc, float v,
+                                    int64_t lo1, int64_t lo2, int64_t n1,
+                                    int64_t n2, const int32_t* tile_map,
+                                    int64_t tm_cols, int64_t B, float* buf) {
+  const int64_t r = gr - lo1, c = gc - lo2;
+  if (r >= 0 && r < n1 && c >= 0 && c < n2) {
+    const int32_t k = tile_map[(r / B) * tm_cols + (c / B)];
+    if (k > 0) {
+      buf[((int64_t)k * B + (r % B)) * B + (c % B)] += v;
+    }
+  }
+}
+
 void tile_scatter_wtri(const int64_t* rows, const int64_t* cols,
                        const float* vals, int64_t nnz, int64_t lo1,
                        int64_t lo2, int64_t n1, int64_t n2, const float* w,
                        const int32_t* tile_map, int64_t tm_cols, int64_t B,
-                       int32_t mirror, float* out) {
+                       int64_t K, int32_t mirror, float* out) {
+  const int64_t stack = (K + 1) * B * B;
+#ifdef _OPENMP
+  const bool priv = stack * (int64_t)sizeof(float) < (int64_t)128 << 20 &&
+                    nnz > stack / 4;
+  if (priv) {
+#pragma omp parallel
+    {
+      const int t = omp_get_thread_num();
+      float* buf = t == 0 ? out : new float[stack]();
+#pragma omp for schedule(static)
+      for (int64_t i = 0; i < nnz; i++) {
+        const int64_t gr = rows[i], gc = cols[i];
+        float v = vals[i];
+        if (w) v *= w[gr] * w[gc];
+        scatter_one_wtri(gr, gc, v, lo1, lo2, n1, n2, tile_map, tm_cols, B,
+                         buf);
+        if (mirror && gr != gc) {
+          scatter_one_wtri(gc, gr, v, lo1, lo2, n1, n2, tile_map, tm_cols, B,
+                           buf);
+        }
+      }
+      if (t != 0) {
+#pragma omp critical
+        {
+          for (int64_t j = 0; j < stack; j++) out[j] += buf[j];
+        }
+        delete[] buf;
+      }
+    }
+    return;
+  }
+#endif
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < nnz; i++) {
     const int64_t gr = rows[i], gc = cols[i];

@@ -299,6 +299,35 @@ def make_stripe_step(W: int, S: int, B: int):
     return step
 
 
+def coverage_histogram_sums(cid, r1, r2, cov1, cov2, W, G):
+    """cov_start / cov_end [G, W] accumulated EXACTLY from per-(group,
+    start-bin) histograms: the per-group sum of coverage-vector slices is
+    Σ_r h[g, r]·cov[r : r + W] — a sliding-window correlation evaluated as
+    one [G, n] @ [n, W] matmul, with h built by one bincount over the snip
+    stream. Zero per-snip device work (the histogram twin of
+    expected_toeplitz_sums); replaces the per-snip coverage slices of the
+    reference hot loop (reference coolpup.py:1152–1153). Nonfinite coverage
+    values contribute 0, exactly like the device kernel's cleanup.
+
+    Memory is O(G·n); callers should fall back to the device scatter-add
+    when G is huge (by-window pileups)."""
+    cid = np.asarray(cid, np.int64)
+
+    def one(cov, starts):
+        cov = np.asarray(cov, np.float64)
+        cov = np.where(np.isfinite(cov), cov, 0.0)
+        n = len(cov)
+        h = np.bincount(
+            cid * n + np.asarray(starts, np.int64), minlength=G * n
+        ).reshape(G, n).astype(np.float64)
+        win = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([cov, np.zeros(W - 1)]), W
+        )  # [n, W]
+        return h @ win
+
+    return one(cov1, r1), one(cov2, r2)
+
+
 def expected_toeplitz_sums(cid, dd0, evec, W, G):
     """exp_sum / exp_num [G, W, W]: the expected-emission accumulators
     (ooe=False mode) computed EXACTLY from the (group, dd0) histogram — each

@@ -46,6 +46,10 @@ from .tiles import normalize_tile_stack
 PALLAS_B = 128  # tile size: lane-aligned DMA destinations require this
 
 
+def _ceil_pow2(x):
+    return 1 << int(np.ceil(np.log2(max(1, int(x)))))
+
+
 @dataclass(frozen=True)
 class PallasGatherConfig:
     W: int
@@ -93,7 +97,10 @@ def pad_quads(quads, Q):
 
 
 @lru_cache(maxsize=32)
-def make_pallas_pileup_step(cfg: PallasGatherConfig):
+def _make_pallas_call(cfg: PallasGatherConfig):
+    """The raw pallas_call for one snip chunk (unjitted — wrapped by
+    make_pallas_pileup_step for single dispatch or make_pallas_pileup_scan
+    for a one-dispatch scan over many chunks)."""
     W, B, C = cfg.W, cfg.B, cfg.capacity
 
     def kernel(
@@ -193,7 +200,7 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         ],
     )
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -202,6 +209,11 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         ],
         interpret=cfg.interpret,
     )
+
+
+@lru_cache(maxsize=32)
+def make_pallas_pileup_step(cfg: PallasGatherConfig):
+    call = _make_pallas_call(cfg)
 
     @jax.jit
     def step(k00, k01, k10, k11, qstart, qcount, o1, o2, cid,
@@ -212,6 +224,8 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
         return {"sum": s, "num": n}
 
     return step
+
+
 
 
 def fold_expected(evec, pad):
@@ -323,6 +337,70 @@ class PallasPileupSession:
         if not fetch:
             return out  # device arrays; no sync — chunk dispatches pipeline
         return self.finalize([out])
+
+    def run_many(self, r1, r2, cid, chunk=65536, pad_cid=None, fetch=True):
+        """All snips via pre-staged per-chunk dispatches: quad-sort every
+        fixed-size chunk on the host FIRST, ``device_put`` all scalar arrays
+        up front (uploads overlap the kernel executions), then dispatch the
+        quad kernel per chunk on device-resident arrays and tree-add the
+        accumulators. Through a remote-device tunnel this halves the wall of
+        the naive per-chunk ``run()`` loop, which re-uploads each chunk's
+        arrays inside its dispatch. Snip padding lands in ``pad_cid``
+        (default: the last capacity slot — callers pass their trash slot)."""
+        import jax.numpy as jnp
+
+        B = self.tile_stack.B
+        n = len(r1)
+        capacity = self.cfg_kw["capacity"]
+        if pad_cid is None:
+            pad_cid = capacity - 1
+        if self.cfg_kw.get("interpret"):
+            # CPU tests: bound the padded chunk to the workload size
+            chunk = min(chunk, max(64, _ceil_pow2(max(1, n))))
+        n_chunks = max(1, -(-n // chunk))
+        total_len = n_chunks * chunk
+
+        def padded(a, fill):
+            out = np.full(total_len, fill, np.int32)
+            out[:n] = a
+            return out
+
+        r1p = padded(np.asarray(r1), 0)
+        r2p = padded(np.asarray(r2), 0)
+        cidp = padded(np.asarray(cid), pad_cid)
+
+        q_floor = 256 if self.cfg_kw.get("interpret") else 1024
+        total = None
+        for c in range(n_chunks):
+            # prep of chunk c overlaps the device execution of chunk c-1:
+            # device_put issues the uploads asynchronously and the step
+            # dispatch returns immediately
+            sl = slice(c * chunk, (c + 1) * chunk)
+            order, quads = prep_quads(
+                r1p[sl], r2p[sl], self.tile_stack.tile_map, B
+            )
+            nq = len(quads["qstart"])
+            Q = _ceil_pow2(max(q_floor, nq))
+            quads = pad_quads(quads, Q)
+            args = tuple(
+                jax.device_put(x)
+                for x in (
+                    quads["k00"], quads["k01"], quads["k10"], quads["k11"],
+                    quads["qstart"], quads["qcount"],
+                    (r1p[sl][order] % B).astype(np.int32),
+                    (r2p[sl][order] % B).astype(np.int32),
+                    cidp[sl][order],
+                )
+            )
+            cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
+            step = make_pallas_pileup_step(cfg)
+            out = step(*args, self.ctiles_dev, self.ntiles_dev)
+            total = (
+                out if total is None else jax.tree.map(jnp.add, total, out)
+            )
+        if not fetch:
+            return total
+        return self.finalize([total])
 
     @staticmethod
     def finalize(outs):

@@ -75,14 +75,19 @@ def build_tile_stack(coo, B, r1=None, r2=None, window1=None, window2=None):
     n1, n2 = coo.shape
     nr, nc = -(-n1 // B), -(-n2 // B)
 
-    rows = np.asarray(coo.row, dtype=np.int64)
-    cols = np.asarray(coo.col, dtype=np.int64)
-    vals = np.asarray(coo.data, dtype=np.float64)
+    # keep scipy's native dtypes (int32 indices / float32 data): the native
+    # scatter has dtype-matched entry points, so forcing int64/float64 here
+    # would only add ~200 MB of conversion copies at 12M nnz
+    rows = np.asarray(coo.row)
+    cols = np.asarray(coo.col)
+    vals = np.asarray(coo.data)
 
     if r1 is not None:
         want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
     else:
-        want = np.unique((rows // B) * nc + cols // B)
+        want = np.unique(
+            (rows.astype(np.int64) // B) * nc + cols.astype(np.int64) // B
+        )
 
     K = len(want)
     # +1 for the shared zero tile at stack index 0

@@ -68,12 +68,18 @@ def make_mesh(devices=None, regions_axis=None):
 
 
 def make_loci_mesh(devices=None):
-    """1D mesh with a single "loci" axis over all devices — the production
-    engine's snip-stream sharding axis (PileUpper(mesh=...)): every device
-    holds the region's full tile stack (regions are small: block-sparse,
-    bounded by touched windows) and gathers/accumulates its shard of the snip
-    stream; accumulators psum over ICI."""
-    devices = devices if devices is not None else jax.devices()
+    """1D mesh with a single "loci" axis over this process's devices — the
+    production engine's snip-stream sharding axis (PileUpper(mesh=...)):
+    every device holds the region's full tile stack (regions are small:
+    block-sparse, bounded by touched windows) and gathers/accumulates its
+    shard of the snip stream; accumulators psum over ICI.
+
+    Defaults to jax.local_devices(), NOT jax.devices(): in a multi-process
+    run each host pileups its own region pairs over its own chips and the
+    per-region outputs merge over DCN afterwards (parallel/distributed.py) —
+    a global mesh would require all hosts to run the same region, which is
+    the opposite decomposition."""
+    devices = devices if devices is not None else jax.local_devices()
     return Mesh(np.asarray(devices), ("loci",))
 
 

@@ -23,12 +23,15 @@ DCN between hosts and ICI within them.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
 
 from ..ops.gather import GatherConfig, make_pileup_step_fn, _next_pow2
+
+logger = logging.getLogger("coolpuppy_tpu")
 
 
 @dataclass
@@ -99,7 +102,11 @@ def build_row_partition(tile_stack, r1, n_dev):
         hi = inner[i + 1] - 1 if i + 1 < len(inner) else nr - 1
         inner[i] = min(int(inner[i]), hi)
     row_bounds = np.concatenate([[0], inner, [nr]]).astype(np.int64)
-    assert (np.diff(row_bounds) >= 1).all()
+    if not (np.diff(row_bounds) >= 1).all():
+        # infeasible edge assignment (should be unreachable given nr >= n_dev,
+        # but an assert would vanish under python -O and silently mis-route
+        # halos) — let callers fall back to the replicated-tiles path
+        return None
 
     tr, _tc = _tile_rows_cols(tile_stack.tile_map)
     K1 = tile_stack.tiles.shape[0]
@@ -118,6 +125,15 @@ def build_row_partition(tile_stack, r1, n_dev):
 
     Kcap = _next_pow2(max(1, max(len(o) for o in own)))
     Hcap = _next_pow2(max(1, max(len(h) for h in halo)))
+    # every device's buffer is padded to the LARGEST band's pow2 tile count,
+    # so a skewed tile distribution erodes the per-device memory win — make
+    # the achieved fraction visible (ADVICE r2: silent skew)
+    frac = (1 + Kcap + Hcap) / max(1, K1)
+    logger.debug(
+        "rowshard: %d tiles -> %d bands, Kcap=%d Hcap=%d, "
+        "per-device tile fraction %.2fx",
+        K1 - 1, n_dev, Kcap, Hcap, frac,
+    )
 
     tiles = np.zeros((n_dev, 1 + Kcap, B, B), np.float32)
     Mpad = _next_pow2(nrp * ncp)
@@ -193,7 +209,11 @@ def make_row_sharded_step(cfg: GatherConfig, mesh):
 
     step = make_pileup_step_fn(cfg)
     n = int(mesh.shape["loci"])
-    perm = [(i, (i - 1) % n) for i in range(n)]
+    # device 0's first tile-row has no -1 neighbor to receive it (halo[n-1]
+    # is empty by construction), so the wrap-around (0, n-1) pair would only
+    # burn ICI bandwidth; unaddressed ppermute receivers get zeros, which the
+    # tile_map never references
+    perm = [(i, i - 1) for i in range(1, n)]
     acc_keys = (
         ["sum", "num", "poison"]
         + (["exp_sum", "exp_num"] if cfg.emit_expected else [])

@@ -61,3 +61,27 @@ def test_coverage_matches_dense(tmp_path):
     np.testing.assert_allclose(cis[:n1], want_cis_chr1)
     want_tot_chr1 = want_cis_chr1 + dense[("chr1", "chr2")].sum(axis=1)
     np.testing.assert_allclose(tot[:n1], want_tot_chr1)
+
+
+def test_coverage_histogram_equals_scatter_step():
+    """coverage_histogram_sums (host bincount + sliding-window matmul) ==
+    make_cov_step (device scatter-add) on random snips, incl. nonfinite
+    coverage entries (reference per-snip coverage slices,
+    coolpup.py:1152-1153)."""
+    from coolpuppy_tpu.ops.gather import coverage_histogram_sums, make_cov_step
+
+    rng = np.random.default_rng(3)
+    W, G, S, n = 11, 6, 500, 256
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = rng.integers(0, n - W, S).astype(np.int32)
+    cid = rng.integers(0, G, S).astype(np.int32)
+    cov1 = rng.random(n).astype(np.float32)
+    cov2 = rng.random(n).astype(np.float32)
+    cov1[rng.integers(0, n, 10)] = np.nan
+    cov2[rng.integers(0, n, 10)] = np.inf
+
+    cs, ce = coverage_histogram_sums(cid, r1, r2, cov1, cov2, W, G)
+    step = make_cov_step(W, G, S)
+    want_s, want_e = step(cov1, cov2, r1, r2, cid, np.ones(S, np.float32))
+    np.testing.assert_allclose(cs, np.asarray(want_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ce, np.asarray(want_e), rtol=1e-5, atol=1e-5)
