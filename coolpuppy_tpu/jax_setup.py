@@ -33,3 +33,20 @@ def ensure_jax_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:  # pragma: no cover - older jax or read-only fs
         pass
+
+
+def honor_platform_env():
+    """Apply JAX_PLATFORMS through the config API.
+
+    Some jax builds with out-of-tree accelerator plugins register the plugin
+    regardless of the env var, so `JAX_PLATFORMS=cpu coolpup-tpu ...` would
+    silently run on (and block waiting for) the accelerator. The CLIs call
+    this before first backend use; a no-op when the env var is unset."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:  # pragma: no cover
+            pass

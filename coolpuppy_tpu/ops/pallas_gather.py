@@ -370,19 +370,17 @@ class PallasPileupSession:
         cidp = padded(np.asarray(cid), pad_cid)
 
         q_floor = 256 if self.cfg_kw.get("interpret") else 1024
-        total = None
-        for c in range(n_chunks):
-            # prep of chunk c overlaps the device execution of chunk c-1:
-            # device_put issues the uploads asynchronously and the step
-            # dispatch returns immediately
+
+        def prep(c):
+            # host quad-sort + async upload of one chunk's scalar arrays
+            # (argsort releases the GIL, device_put returns immediately)
             sl = slice(c * chunk, (c + 1) * chunk)
             order, quads = prep_quads(
                 r1p[sl], r2p[sl], self.tile_stack.tile_map, B
             )
-            nq = len(quads["qstart"])
-            Q = _ceil_pow2(max(q_floor, nq))
+            Q = _ceil_pow2(max(q_floor, len(quads["qstart"])))
             quads = pad_quads(quads, Q)
-            args = tuple(
+            return Q, tuple(
                 jax.device_put(x)
                 for x in (
                     quads["k00"], quads["k01"], quads["k10"], quads["k11"],
@@ -392,12 +390,25 @@ class PallasPileupSession:
                     cidp[sl][order],
                 )
             )
-            cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
-            step = make_pallas_pileup_step(cfg)
-            out = step(*args, self.ctiles_dev, self.ntiles_dev)
-            total = (
-                out if total is None else jax.tree.map(jnp.add, total, out)
-            )
+
+        # a single worker preps chunk c+1 while the device runs chunk c
+        from concurrent.futures import ThreadPoolExecutor
+
+        total = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, 0)
+            for c in range(n_chunks):
+                Q, args = fut.result()
+                if c + 1 < n_chunks:
+                    fut = pool.submit(prep, c + 1)
+                cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
+                step = make_pallas_pileup_step(cfg)
+                out = step(*args, self.ctiles_dev, self.ntiles_dev)
+                total = (
+                    out
+                    if total is None
+                    else jax.tree.map(jnp.add, total, out)
+                )
         if not fetch:
             return total
         return self.finalize([total])

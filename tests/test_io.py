@@ -293,3 +293,27 @@ def test_pandas_read_hdf_interop(tmp_path):
         got = read_fixed_frame(f, "annotation")
     assert list(got["group"]) == ["a", "b"]
     assert list(got["n"]) == [1, 2]
+
+
+def test_pandas_fixed_fixture_loads():
+    """If a fixture generated by REAL pandas/PyTables is committed
+    (tools/make_interop_fixture.py), our raw-h5py codec must read it. The
+    development environment has no PyTables, so this is the only way to
+    verify against genuine pandas bytes; the test skips until the fixture
+    is generated on a machine that has `tables`."""
+    import os
+
+    import h5py
+
+    from coolpuppy_tpu.io.pandas_hdf import read_fixed_frame
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "pandas_fixed_interop.h5"
+    )
+    if not os.path.exists(path):
+        pytest.skip("pandas/PyTables fixture not generated in this env")
+    with h5py.File(path, "r") as f:
+        got = read_fixed_frame(f, "annotation")
+    assert list(got["group"]) == ["++", "--", "all"]
+    assert list(got["n"]) == [3, 5, 8]
+    np.testing.assert_allclose(got["score"], [0.25, -1.5, 2.0])
