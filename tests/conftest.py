@@ -4,8 +4,12 @@ chip during CI-style runs)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault): the
+# surrounding shell may export JAX_PLATFORMS=axon for the real chip, and the
+# CLIs re-apply the env var in-process (jax_setup.honor_platform_env), which
+# would flip an in-process CLI test -- and every test after it -- onto the
+# tunneled TPU (1 device, hangs if the chip is held elsewhere).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
