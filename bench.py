@@ -149,9 +149,9 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=3):
         stage_time = min(stage_time, time.time() - t0)
 
     def run_all():
-        # the engine's blocked path: quad-sort chunks on the host, one
-        # jitted scan dispatch over all of them, single device->host fetch
-        out = session.run_many(r1, r2, gid, chunk=S, fetch=False)
+        # the engine's path: one global quad sort, greedily packed
+        # fixed-shape kernel calls, single device->host fetch
+        out = session.run_many(r1, r2, gid, fetch=False)
         return session.finalize([out])
 
     t0 = time.time()

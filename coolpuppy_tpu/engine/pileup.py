@@ -136,20 +136,13 @@ class _PallasStream:
         import jax.numpy as jnp
 
         take = self._take(n)
-        S = len(take["r1"])
-
-        def pad(a, fill):
-            if S == self.chunk:
-                return a
-            out = np.full(self.chunk, fill, a.dtype)
-            out[:S] = a
-            return out
-
-        out = self.session.run(
-            pad(take["r1"], 0),
-            pad(take["r2"], 0),
-            pad(take["dd0"], 0),
-            pad(take["cid"], self.capacity),  # padding -> trash slot
+        # no host-side padding: the packed session dispatch pads each call
+        # internally and padding snips are never covered by a quad span
+        out = self.session.run_many(
+            take["r1"],
+            take["r2"],
+            take["cid"],
+            chunk=self.chunk,
             fetch=False,
         )
         self._total_dev = (
@@ -506,7 +499,9 @@ class PileUpper:
                 interpret=interpret,
             ),
         )
-        chunk = 256 if interpret else 65536
+        # same call length as run_segment's packed dispatch so both paths
+        # share one compiled kernel shape per window size
+        chunk = 256 if interpret else 131072
         return _PallasStream(session, tile_stack, half, chunk)
 
     def _use_pallas(self, dev, W):
@@ -1020,14 +1015,13 @@ class PileUpper:
         )
 
         def run_segment(r1s, r2s, dd0s, cids):
-            # ONE device dispatch for the whole segment: run_many quad-sorts
-            # fixed-size chunks and scans the quad kernel over them inside a
-            # single jitted program (padding snips land in the trash slot;
-            # chunk length and quad slots stay pinned so kernel shapes are
-            # compiled once ever)
-            chunk = 256 if interpret else 65536
+            # run_many globally quad-sorts the segment and dispatches
+            # greedily packed fixed-shape kernel calls (chunk length and
+            # quad slots stay pinned so kernel shapes are compiled once
+            # ever; padding snips are never covered by a quad span)
+            chunk = 256 if interpret else 131072
             out = session.run_many(
-                r1s, r2s, cids, chunk=chunk, pad_cid=trash, fetch=False
+                r1s, r2s, cids, chunk=chunk, fetch=False
             )
             total = session.finalize([out])
             return {k: v[:capacity] for k, v in total.items()}

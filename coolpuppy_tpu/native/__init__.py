@@ -13,10 +13,19 @@ _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_ingest.so")
 tile_scatter = None
 tile_scatter_wtri = None
 enumerate_pairs = None
+quad_sort = None
 
 if os.path.exists(_SO):
     try:
         _lib = ctypes.CDLL(_SO)
+        _lib.quad_sort.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib.tile_scatter_wtri.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
@@ -161,7 +170,26 @@ if os.path.exists(_SO):
                     return out_i[:cnt], out_j[:cnt]
                 cap *= 4
 
+        def quad_sort(q, payload, nbuckets):  # noqa: F811
+            """Stable counting sort of int32 payload by int32 keys in
+            [0, nbuckets). Returns (sorted_payload, counts[nbuckets] int64)
+            — the histogram doubles as the per-quad snip counts."""
+            q = np.ascontiguousarray(q, np.int32)
+            payload = np.ascontiguousarray(payload, np.int32)
+            out = np.empty(len(q), np.int32)
+            counts = np.zeros(int(nbuckets), np.int64)
+            _lib.quad_sort(
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                payload.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(len(q)),
+                ctypes.c_int64(int(nbuckets)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            return out, counts
+
     except Exception:  # pragma: no cover
         tile_scatter = None
         tile_scatter_wtri = None
         enumerate_pairs = None
+        quad_sort = None

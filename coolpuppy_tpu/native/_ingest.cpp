@@ -10,22 +10,114 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <vector>
 #ifdef _OPENMP
 #include <omp.h>
 #endif
 
+// Two-pass conflict-free scatter: counting-sort the (tile, cell, value)
+// entries by tile (parallel, per-thread histograms), then reduce each tile's
+// run with exactly one thread. Beats both float atomics (~2x) and
+// thread-private stack copies (whose 67 MB-per-thread serial merge dominated
+// at 12M nnz / K~1000). `emit(i, ks, ix, vs)` yields 0..2 entries for input
+// i, already filtered to mapped tiles (k >= 1).
+template <typename EmitFn>
+static void scatter_two_pass(int64_t nnz, int64_t K, int64_t B, EmitFn emit,
+                             float* out) {
+#ifdef _OPENMP
+  int nt = omp_get_max_threads();
+  if (nt > 16) nt = 16;
+#else
+  int nt = 1;
+#endif
+  const int64_t nb = K;  // buckets are tiles 1..K, stored at k-1
+  std::vector<int64_t> hist((size_t)nt * nb, 0);
+#pragma omp parallel num_threads(nt)
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t lo = nnz * t / nt, hi = nnz * (t + 1) / nt;
+    int64_t* h = hist.data() + (size_t)t * nb;
+    int32_t ks[2], ix[2];
+    float vs[2];
+    for (int64_t i = lo; i < hi; i++) {
+      const int n = emit(i, ks, ix, vs);
+      for (int e = 0; e < n; e++) h[ks[e] - 1]++;
+    }
+  }
+  std::vector<int64_t> bstart(nb + 1);
+  int64_t run = 0;
+  for (int64_t b = 0; b < nb; b++) {
+    bstart[b] = run;
+    int64_t total = 0;
+    for (int tt = 0; tt < nt; tt++) {
+      int64_t c = hist[(size_t)tt * nb + b];
+      hist[(size_t)tt * nb + b] = run + total;
+      total += c;
+    }
+    run += total;
+  }
+  bstart[nb] = run;
+  // raw allocations: value-init of ~100 MB staging would cost real memsets
+  std::unique_ptr<int32_t[]> ecell(new int32_t[run]);
+  std::unique_ptr<float[]> evalv(new float[run]);
+#pragma omp parallel num_threads(nt)
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t lo = nnz * t / nt, hi = nnz * (t + 1) / nt;
+    int64_t* cur = hist.data() + (size_t)t * nb;
+    int32_t ks[2], ix[2];
+    float vs[2];
+    for (int64_t i = lo; i < hi; i++) {
+      const int n = emit(i, ks, ix, vs);
+      for (int e = 0; e < n; e++) {
+        const int64_t p = cur[ks[e] - 1]++;
+        ecell[p] = ix[e];
+        evalv[p] = vs[e];
+      }
+    }
+  }
+#pragma omp parallel for schedule(dynamic, 8) num_threads(nt)
+  for (int64_t k = 0; k < nb; k++) {
+    float* tile = out + (k + 1) * B * B;
+    for (int64_t p = bstart[k]; p < bstart[k + 1]; p++) {
+      tile[ecell[p]] += evalv[p];
+    }
+  }
+}
+
 // Scatter nnz COO entries into a zeroed tile stack [K+1, B, B] (f32).
 // tile_map is the dense [tm_rows, tm_cols] grid -> stack index (0 = skip).
-//
-// Threads accumulate into private copies of the stack and merge at the end —
-// float atomic adds on the shared stack cost ~2x at 12M nnz. The private
-// copies are worth it only while the stack is small relative to nnz work;
-// large stacks (rare: huge unbanded regions) fall back to atomics.
 template <typename I, typename V>
 static void tile_scatter_impl(const I* rows, const I* cols, const V* vals,
                               int64_t nnz, const int32_t* tile_map,
                               int64_t tm_cols, int64_t B, int64_t K,
                               float* out) {
+  if (nnz > (int64_t)1 << 19 && K < (int64_t)1 << 18) {
+    scatter_two_pass(
+        nnz, K, B,
+        [=](int64_t i, int32_t* ks, int32_t* ix, float* vs) -> int {
+          const int64_t tr = (int64_t)rows[i] / B;
+          const int64_t tc = (int64_t)cols[i] / B;
+          const int32_t k = tile_map[tr * tm_cols + tc];
+          if (k <= 0) return 0;
+          ks[0] = k;
+          ix[0] = (int32_t)(((int64_t)rows[i] - tr * B) * B +
+                            ((int64_t)cols[i] - tc * B));
+          vs[0] = (float)vals[i];
+          return 1;
+        },
+        out);
+    return;
+  }
   const int64_t stack = (K + 1) * B * B;
 #ifdef _OPENMP
   const bool priv = stack * (int64_t)sizeof(float) < (int64_t)128 << 20 &&
@@ -126,6 +218,43 @@ void tile_scatter_wtri(const int64_t* rows, const int64_t* cols,
                        int64_t lo2, int64_t n1, int64_t n2, const float* w,
                        const int32_t* tile_map, int64_t tm_cols, int64_t B,
                        int64_t K, int32_t mirror, float* out) {
+  if (nnz > (int64_t)1 << 19 && K < (int64_t)1 << 18) {
+    scatter_two_pass(
+        nnz, K, B,
+        [=](int64_t i, int32_t* ks, int32_t* ix, float* vs) -> int {
+      const int64_t gr = rows[i], gc = cols[i];
+      float v = vals[i];
+      if (w) v *= w[gr] * w[gc];
+      int n = 0;
+      {
+        const int64_t r = gr - lo1, c = gc - lo2;
+        if (r >= 0 && r < n1 && c >= 0 && c < n2) {
+          const int32_t k = tile_map[(r / B) * tm_cols + (c / B)];
+          if (k > 0) {
+            ks[n] = k;
+            ix[n] = (int32_t)((r % B) * B + (c % B));
+            vs[n] = v;
+            n++;
+          }
+        }
+      }
+      if (mirror && gr != gc) {
+        const int64_t r = gc - lo1, c = gr - lo2;
+        if (r >= 0 && r < n1 && c >= 0 && c < n2) {
+          const int32_t k = tile_map[(r / B) * tm_cols + (c / B)];
+          if (k > 0) {
+            ks[n] = k;
+            ix[n] = (int32_t)((r % B) * B + (c % B));
+            vs[n] = v;
+            n++;
+          }
+        }
+      }
+      return n;
+        },
+        out);
+    return;
+  }
   const int64_t stack = (K + 1) * B * B;
 #ifdef _OPENMP
   const bool priv = stack * (int64_t)sizeof(float) < (int64_t)128 << 20 &&
@@ -192,6 +321,48 @@ void tile_scatter_wtri(const int64_t* rows, const int64_t* cols,
 // pairs written, or -1 if capacity was exceeded. k-th superdiagonal sweep
 // with early exit once min distance at k exceeds maxdist (same enumeration
 // order as coords.py::_batches_cis_bed).
+// Stable parallel counting sort of a 32-bit payload by small-ranged keys
+// (tile-quad ids). Replaces numpy argsort+gather in the pallas dispatch hot
+// path (reference hot loop coolpup.py:1104–1191 has no analog: it never
+// sorts, it streams). counts[nbuckets] receives the per-key histogram —
+// exactly the per-quad snip counts the packer needs, so the caller skips
+// np.unique entirely. Threads each own a contiguous input range; stability
+// follows from offsetting each thread's scatter cursor by the histograms of
+// lower-ranked threads.
+void quad_sort(const int32_t* q, const int32_t* payload, int64_t n,
+               int64_t nbuckets, int32_t* out_payload, int64_t* counts) {
+  int nt = omp_get_max_threads();
+  if (nt > 16) nt = 16;
+  if (n < (int64_t)1 << 16) nt = 1;
+  std::vector<int64_t> hist((size_t)nt * nbuckets, 0);
+#pragma omp parallel num_threads(nt)
+  {
+    const int t = omp_get_thread_num();
+    const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+    int64_t* h = hist.data() + (size_t)t * nbuckets;
+    for (int64_t i = lo; i < hi; i++) h[q[i]]++;
+#pragma omp barrier
+#pragma omp single
+    {
+      // column-major prefix over (bucket, thread): cursor for thread t at
+      // bucket b = sum of all buckets < b plus hist of threads < t at b
+      int64_t run = 0;
+      for (int64_t b = 0; b < nbuckets; b++) {
+        int64_t total = 0;
+        for (int tt = 0; tt < nt; tt++) {
+          int64_t c = hist[(size_t)tt * nbuckets + b];
+          hist[(size_t)tt * nbuckets + b] = run + total;
+          total += c;
+        }
+        counts[b] = total;
+        run += total;
+      }
+    }
+    int64_t* cur = hist.data() + (size_t)t * nbuckets;
+    for (int64_t i = lo; i < hi; i++) out_payload[cur[q[i]]++] = payload[i];
+  }
+}
+
 int64_t enumerate_pairs(const double* centers, int64_t n, double mindist,
                         double maxdist, int64_t* out_i, int64_t* out_j,
                         int64_t cap) {

@@ -98,13 +98,13 @@ def pad_quads(quads, Q):
 
 @lru_cache(maxsize=32)
 def _make_pallas_call(cfg: PallasGatherConfig):
-    """The raw pallas_call for one snip chunk (unjitted — wrapped by
-    make_pallas_pileup_step for single dispatch or make_pallas_pileup_scan
-    for a one-dispatch scan over many chunks)."""
+    """The raw pallas_call for one packed call (unjitted — wrapped by
+    make_pallas_pileup_step for single-device dispatch, or embedded in
+    parallel/pallas_mesh.make_sharded_pallas_step under shard_map)."""
     W, B, C = cfg.W, cfg.B, cfg.capacity
 
     def kernel(
-        k00, k01, k10, k11, qstart, qcount, o1, o2, cid,
+        k00, k01, k10, k11, qstart, qcount, snip,
         ctiles_ref, ntiles_ref,
         sum_ref, num_ref,
         csup, nsup, sems,
@@ -152,9 +152,14 @@ def _make_pallas_call(cfg: PallasGatherConfig):
 
             def one_snip(j):
                 s = qstart[q] + j
-                a = o1[s]
-                b = o2[s]
-                g = cid[s]
+                # per-snip scalars ride ONE packed int32 in SMEM:
+                # bits [24:31)=row offset, [17:24)=col offset, [0:17)=group id
+                # (one upload + one SMEM read per snip instead of three; the
+                # top bit stays clear so int32 shifts are sign-safe)
+                v = snip[s]
+                a = v >> 24
+                b = (v >> 17) & 0x7F
+                g = v & 0x1FFFF
                 a_al = pl.multiple_of((a // 8) * 8, 8)
                 a_off = a - a_al
 
@@ -181,7 +186,7 @@ def _make_pallas_call(cfg: PallasGatherConfig):
             jax.lax.fori_loop(0, (cnt + U - 1) // U, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=7,
         grid=(cfg.Q,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # ctiles (HBM)
@@ -216,14 +221,23 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
     call = _make_pallas_call(cfg)
 
     @jax.jit
-    def step(k00, k01, k10, k11, qstart, qcount, o1, o2, cid,
-             ctiles, ntiles):
+    def step(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
         s, n = call(
-            k00, k01, k10, k11, qstart, qcount, o1, o2, cid, ctiles, ntiles
+            k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles
         )
         return {"sum": s, "num": n}
 
     return step
+
+
+def pack_snips(o1, o2, cid):
+    """Pack per-snip (row offset < 128, col offset < 128, group id < 2^17)
+    into the kernel's single int32 SMEM word (layout in the kernel body)."""
+    return (
+        (np.asarray(o1, np.int32) << 24)
+        | (np.asarray(o2, np.int32) << 17)
+        | np.asarray(cid, np.int32)
+    )
 
 
 
@@ -312,97 +326,126 @@ class PallasPileupSession:
             self.ntiles_dev = jax.device_put(ntiles)
 
     def run(self, r1, r2, dd0=None, cid=None, fetch=True):
-        B = self.tile_stack.B
-        order, quads = prep_quads(r1, r2, self.tile_stack.tile_map, B)
-        nq = len(quads["qstart"])
-        # PIN Q on hardware: every distinct kernel shape costs a full Mosaic
-        # compile (minutes through a remote compile service), while an empty
-        # quad slot costs one skipped grid step (~30us). 1024 covers typical
-        # regions (one shape ever); bigger runs step up in pow2 (cached).
-        # Interpret mode (CPU tests) keeps small shapes instead.
-        q_floor = 256 if self.cfg_kw.get("interpret") else 1024
-        Q = 1 << int(np.ceil(np.log2(max(q_floor, nq))))
-        quads = pad_quads(quads, Q)
-        cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
-        step = make_pallas_pileup_step(cfg)
+        """One snip batch through the packed dispatch (dd0 unused: distance
+        banding is encoded in cid by the engine)."""
+        return self.run_many(r1, r2, cid, fetch=fetch)
 
-        o1 = (r1[order] % B).astype(np.int32)
-        o2 = (r2[order] % B).astype(np.int32)
-        out = step(
-            quads["k00"], quads["k01"], quads["k10"], quads["k11"],
-            quads["qstart"], quads["qcount"],
-            o1, o2, np.asarray(cid)[order].astype(np.int32),
-            self.ctiles_dev, self.ntiles_dev,
-        )
-        if not fetch:
-            return out  # device arrays; no sync — chunk dispatches pipeline
-        return self.finalize([out])
+    def run_many(self, r1, r2, cid, chunk=131072, pad_cid=None, fetch=True):
+        """All snips via GLOBALLY quad-sorted, greedily packed kernel calls.
 
-    def run_many(self, r1, r2, cid, chunk=65536, pad_cid=None, fetch=True):
-        """All snips via pre-staged per-chunk dispatches: quad-sort every
-        fixed-size chunk on the host FIRST, ``device_put`` all scalar arrays
-        up front (uploads overlap the kernel executions), then dispatch the
-        quad kernel per chunk on device-resident arrays and tree-add the
-        accumulators. Through a remote-device tunnel this halves the wall of
-        the naive per-chunk ``run()`` loop, which re-uploads each chunk's
-        arrays inside its dispatch. Snip padding lands in ``pad_cid``
-        (default: the last capacity slot — callers pass their trash slot)."""
+        One counting sort over the whole stream (native C++; numpy keysort
+        fallback) sorts the packed per-snip words by tile quad, then
+        consecutive quads are packed into fixed-shape calls bounded by
+        ``chunk`` snips (the SMEM scalar-prefetch budget) and ``Q_CAP`` quad
+        slots. Because each call covers a CONTIGUOUS run of quads, every quad
+        is DMA-staged once per stream instead of once per chunk — the old
+        per-chunk local sort re-staged ~every touched quad for all chunks
+        (16× the HBM traffic at 1M snips) and padded each chunk's quads to a
+        1024-step grid (~20 µs per empty step). Call shapes stay pinned
+        (Q_CAP, chunk), so each window size still compiles once per process.
+        Padding snips are simply never covered by any quad's [qstart,
+        qstart+qcount) span, so no trash-slot work is dispatched for them
+        (``pad_cid`` is retained for API compatibility)."""
         import jax.numpy as jnp
 
+        from .. import native
+
         B = self.tile_stack.B
+        tile_map = self.tile_stack.tile_map
+        ncol = tile_map.shape[1]
         n = len(r1)
-        capacity = self.cfg_kw["capacity"]
-        if pad_cid is None:
-            pad_cid = capacity - 1
-        if self.cfg_kw.get("interpret"):
+        interpret = bool(self.cfg_kw.get("interpret"))
+        if interpret:
             # CPU tests: bound the padded chunk to the workload size
             chunk = min(chunk, max(64, _ceil_pow2(max(1, n))))
-        n_chunks = max(1, -(-n // chunk))
-        total_len = n_chunks * chunk
+        Q_CAP = 64 if interpret else 128
 
-        def padded(a, fill):
-            out = np.full(total_len, fill, np.int32)
-            out[:n] = a
-            return out
+        r1a = np.asarray(r1)
+        r2a = np.asarray(r2)
+        packed = pack_snips(r1a % B, r2a % B, cid)
+        nbuckets = int(tile_map.shape[0] - 1) * ncol + 1
+        q32 = ((r1a // B).astype(np.int64) * ncol + (r2a // B)).astype(
+            np.int32
+        )
+        if native.quad_sort is not None and nbuckets <= (1 << 23) and n > 0:
+            snips, counts_full = native.quad_sort(q32, packed, nbuckets)
+            uniq = np.flatnonzero(counts_full)
+            counts = counts_full[uniq]
+        else:
+            # 47-bit key: quad id above the 31 packed payload bits
+            key = (q32.astype(np.int64) << 31) | packed.astype(np.int64)
+            key.sort(kind="stable")
+            snips = (key & 0x7FFFFFFF).astype(np.int32)
+            qs = (key >> 31).astype(np.int32)
+            bnd = np.flatnonzero(np.diff(qs)) + 1
+            starts = np.concatenate([[0], bnd]) if len(qs) else np.array([], np.int64)
+            counts = np.diff(np.concatenate([starts, [len(qs)]])) if len(qs) else starts
+            uniq = qs[starts.astype(np.int64)] if len(qs) else starts
+        ut1 = uniq // ncol
+        ut2 = uniq % ncol
+        qk = (
+            tile_map[ut1, ut2].astype(np.int32),
+            tile_map[ut1, ut2 + 1].astype(np.int32),
+            tile_map[ut1 + 1, ut2].astype(np.int32),
+            tile_map[ut1 + 1, ut2 + 1].astype(np.int32),
+        )
 
-        r1p = padded(np.asarray(r1), 0)
-        r2p = padded(np.asarray(r2), 0)
-        cidp = padded(np.asarray(cid), pad_cid)
-
-        q_floor = 256 if self.cfg_kw.get("interpret") else 1024
+        # greedy pack: consecutive quads until either budget is hit; a quad
+        # larger than the snip budget splits across calls (its tiles re-stage)
+        packs = []
+        qi, pos, base = 0, 0, 0
+        nu = len(uniq)
+        if nu == 0:
+            # empty stream: one all-empty call still produces the zeroed
+            # [C, W, W] accumulators callers expect
+            packs.append((
+                [np.zeros(Q_CAP, np.int32) for _ in range(4)],
+                np.zeros(Q_CAP, np.int32), np.zeros(Q_CAP, np.int32), 0, 0,
+            ))
+        while qi < nu:
+            ks = [np.zeros(Q_CAP, np.int32) for _ in range(4)]
+            qstart = np.zeros(Q_CAP, np.int32)
+            qcount = np.zeros(Q_CAP, np.int32)
+            nq, used = 0, 0
+            while qi < nu and nq < Q_CAP and used < chunk:
+                take = min(counts[qi] - pos, chunk - used)
+                for a, src in zip(ks, qk):
+                    a[nq] = src[qi]
+                qstart[nq] = used
+                qcount[nq] = take
+                nq += 1
+                used += take
+                pos += take
+                if pos == counts[qi]:
+                    qi += 1
+                    pos = 0
+            packs.append((ks, qstart, qcount, base, used))
+            base += used
 
         def prep(c):
-            # host quad-sort + async upload of one chunk's scalar arrays
-            # (argsort releases the GIL, device_put returns immediately)
-            sl = slice(c * chunk, (c + 1) * chunk)
-            order, quads = prep_quads(
-                r1p[sl], r2p[sl], self.tile_stack.tile_map, B
-            )
-            Q = _ceil_pow2(max(q_floor, len(quads["qstart"])))
-            quads = pad_quads(quads, Q)
-            return Q, tuple(
+            # pad + async upload of one call's arrays (device_put returns
+            # immediately, so uploads overlap device execution)
+            ks, qstart, qcount, lo, used = packs[c]
+            sn = np.zeros(chunk, np.int32)
+            sn[:used] = snips[lo : lo + used]
+            return tuple(
                 jax.device_put(x)
-                for x in (
-                    quads["k00"], quads["k01"], quads["k10"], quads["k11"],
-                    quads["qstart"], quads["qcount"],
-                    (r1p[sl][order] % B).astype(np.int32),
-                    (r2p[sl][order] % B).astype(np.int32),
-                    cidp[sl][order],
-                )
+                for x in (*ks, qstart, qcount, sn)
             )
 
-        # a single worker preps chunk c+1 while the device runs chunk c
+        cfg = PallasGatherConfig(Q=Q_CAP, **self.cfg_kw)
+        step = make_pallas_pileup_step(cfg)
+
+        # a single worker preps call c+1 while the device runs call c
         from concurrent.futures import ThreadPoolExecutor
 
         total = None
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(prep, 0)
-            for c in range(n_chunks):
-                Q, args = fut.result()
-                if c + 1 < n_chunks:
+            for c in range(len(packs)):
+                args = fut.result()
+                if c + 1 < len(packs):
                     fut = pool.submit(prep, c + 1)
-                cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
-                step = make_pallas_pileup_step(cfg)
                 out = step(*args, self.ctiles_dev, self.ntiles_dev)
                 total = (
                     out

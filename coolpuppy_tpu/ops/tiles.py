@@ -51,18 +51,17 @@ def touched_tiles(r1, r2, window1, window2, B, shape):
     t1b = (np.asarray(r1) + w1 - 1) // B
     t2a = np.asarray(r2) // B
     t2b = (np.asarray(r2) + w2 - 1) // B
-    # windows span at most 2 tiles per axis (B >= max window), enumerate corners
-    pairs = set()
+    # windows span at most 2 tiles per axis (B >= max window): flag the four
+    # corner tiles per window in a bitmap (no per-corner unique/set churn)
+    flags = np.zeros(nr * nc, dtype=bool)
     for rr, cc in (
         (t1a, t2a),
         (t1a, t2b),
         (t1b, t2a),
         (t1b, t2b),
     ):
-        ids = np.unique(rr.astype(np.int64) * nc + cc.astype(np.int64))
-        pairs.update(int(i) for i in ids)
-    pairs = np.array(sorted(pairs), dtype=np.int64)
-    return pairs, nr, nc
+        flags[rr.astype(np.int64) * nc + cc.astype(np.int64)] = True
+    return np.flatnonzero(flags), nr, nc
 
 
 def build_tile_stack(coo, B, r1=None, r2=None, window1=None, window2=None):

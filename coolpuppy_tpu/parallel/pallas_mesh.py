@@ -37,6 +37,7 @@ from ..ops.pallas_gather import (
     PallasGatherConfig,
     _ceil_pow2,
     _make_pallas_call,
+    pack_snips,
     pad_quads,
     prep_quads,
 )
@@ -122,13 +123,12 @@ def make_sharded_pallas_step(cfg: PallasGatherConfig, mesh, tiles_sharded):
 
     call = _make_pallas_call(cfg)
 
-    def local(k00, k01, k10, k11, qstart, qcount, o1, o2, cid,
-              ctiles, ntiles):
+    def local(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
         ct = ctiles[0] if tiles_sharded else ctiles
         nt = ntiles[0] if tiles_sharded else ntiles
         s, num = call(
             k00[0], k01[0], k10[0], k11[0], qstart[0], qcount[0],
-            o1[0], o2[0], cid[0], ct, nt,
+            snip[0], ct, nt,
         )
         return {
             "sum": jax.lax.psum(s, "loci"),
@@ -141,7 +141,7 @@ def make_sharded_pallas_step(cfg: PallasGatherConfig, mesh, tiles_sharded):
     sharded = _shard_map(
         local,
         mesh,
-        in_specs=(shard,) * 9 + (tile_spec,) * 2,
+        in_specs=(shard,) * 7 + (tile_spec,) * 2,
         out_specs={"sum": rep, "num": rep},
     )
     return jax.jit(sharded)
@@ -274,16 +274,14 @@ class PallasMeshSession:
             k: np.zeros((n, Q), np.int32)
             for k in ("k00", "k01", "k10", "k11", "qstart", "qcount")
         }
-        o1 = np.zeros((n, S_dev), np.int32)
-        o2 = np.zeros((n, S_dev), np.int32)
-        cids = np.zeros((n, S_dev), np.int32)
+        snip = np.zeros((n, S_dev), np.int32)
         for d, (order, quads, r1d, r2d, cidd) in enumerate(preps):
             quads = pad_quads(quads, Q)
             for k in batch:
                 batch[k][d] = quads[k]
-            o1[d] = (r1d[order] % B).astype(np.int32)
-            o2[d] = (r2d[order] % B).astype(np.int32)
-            cids[d] = cidd[order]
+            snip[d] = pack_snips(
+                r1d[order] % B, r2d[order] % B, cidd[order]
+            )
 
         cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
         step = make_sharded_pallas_step(cfg, mesh, self.part is not None)
@@ -292,7 +290,7 @@ class PallasMeshSession:
             jax.device_put(x, shard)
             for x in (
                 batch["k00"], batch["k01"], batch["k10"], batch["k11"],
-                batch["qstart"], batch["qcount"], o1, o2, cids,
+                batch["qstart"], batch["qcount"], snip,
             )
         )
         return step(*args, self.ctiles, self.ntiles)
