@@ -99,3 +99,80 @@ def test_device_normalize_matches_host_and_clips_padded_valid():
     )
     np.testing.assert_allclose(np.asarray(got_c), want_c, rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got_n), want_n)
+
+
+def _oracle_sums(coo, r1, r2, cid, valid, evec, W, C, ignore_diags=2):
+    """Dense nansum/finite-count oracle (reference coolpup.py:1104-1156)."""
+    dense = np.asarray(coo.todense(), np.float64)
+    n = dense.shape[0]
+    mat = dense.copy()
+    bad = valid[:n] == 0
+    mat[bad, :] = np.nan
+    mat[:, bad] = np.nan
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    mat[np.abs(ii - jj) < ignore_diags] = np.nan
+    ev = np.full((n, n), np.nan)
+    d = np.abs(ii - jj)
+    ok = d < len(evec)
+    ev[ok] = np.asarray(evec, np.float64)[d[ok]]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat = mat / ev
+    s = np.zeros((C, W, W))
+    m = np.zeros((C, W, W))
+    for a, b, g in zip(r1, r2, cid):
+        win = mat[a : a + W, b : b + W]
+        fin = np.isfinite(win)
+        s[g] += np.where(fin, win, 0.0)
+        m[g] += fin
+    return s, m
+
+
+def test_packed_dispatch_edges():
+    """Greedy packing edges: one quad bigger than the snip budget (splits
+    across calls), quads exceeding Q_CAP (spill into more calls), empty
+    stream, and group ids above 512 (the packed int32's 17-bit field)."""
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+
+    rng = np.random.default_rng(7)
+    n, W, B = 700, 11, 128
+    dense = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.2)
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    valid = (rng.random(n) > 0.05).astype(np.float32)
+    evec = (5.0 / (1.0 + np.arange(n))).astype(np.float32)
+
+    C = 600  # > 512: exercises the wide group-id bits
+    S = 1500
+    # heavy cluster in one quad + a thin spread over many quads
+    r1 = np.concatenate([
+        np.full(900, 3, np.int32) + rng.integers(0, 5, 900).astype(np.int32),
+        rng.integers(0, n - W, S - 900).astype(np.int32),
+    ])
+    r2 = np.concatenate([
+        np.full(900, 9, np.int32) + rng.integers(0, 5, 900).astype(np.int32),
+        rng.integers(0, n - W, S - 900).astype(np.int32),
+    ])
+    cid = rng.integers(0, C, S).astype(np.int32)
+    cid[:10] = C - 1
+
+    ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+    session = PallasPileupSession(
+        ts, valid, valid, evec,
+        dict(W=W, capacity=C, cis=True, ignore_diags=2, ooe=True,
+             interpret=True),
+    )
+    # chunk=128 forces the 900-snip quad to split across >=8 calls; the
+    # spread snips exceed Q_CAP=64 quads per call
+    got = session.run_many(r1, r2, cid, chunk=128)
+    want_s, want_m = _oracle_sums(coo, r1, r2, cid, valid, evec, W, C)
+    pois = np.isinf(got["sum"])
+    assert not pois.any()
+    np.testing.assert_allclose(got["sum"], want_s, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got["num"], want_m)
+
+    # empty stream still returns zeroed accumulators
+    empty = session.run_many(
+        np.array([], np.int32), np.array([], np.int32), np.array([], np.int32)
+    )
+    assert empty["sum"].shape == (C, W, W)
+    assert float(empty["sum"].sum()) == 0.0 and float(empty["num"].sum()) == 0.0
