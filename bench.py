@@ -294,8 +294,13 @@ def bench_rescale(n_tads=2_000, rescale_size=99, seed=0, ref_n=200):
             pup.loc[pup["group"] == "all", "n"].iloc[0]
         )
 
-    run(feats.iloc[:100])  # warmup: one XLA compile per extent bucket
+    # warmup with the FULL workload: the 2k TADs hit more pow2 extent
+    # buckets than any subset, and each unseen bucket costs an XLA compile
+    # that must not land in the measured wall; then best-of-2 steady state
+    run(feats)
     wall, n_snips = run(feats)
+    wall2, _ = run(feats)
+    wall = min(wall, wall2)
 
     # reference-style loop: CSR slice -> dense, bad-bin NaN, diag mask,
     # symmetrize, NaN-aware resize (reference coolpup.py:1104–1234)
@@ -381,9 +386,66 @@ def bench_modes(n_sites=20_000, maxdist=2_000_000, seed=0):
         ("by_window", {"by_window": True}),
     ):
         run(small, **kw)  # warmup: pinned shapes compile once
-        results[name], n1 = run(feats, **kw)
+        # best-of-2: tunnel dispatch latency is noisy at the ~20% level
+        rate_a, n1 = run(feats, **kw)
+        rate_b, _ = run(feats, **kw)
+        results[name] = max(rate_a, rate_b)
     results["snips"] = n1
     return results
+
+
+def bench_extension(n_sites=2_000, maxdist=1_000_000, seed=0):
+    """Host snip-stream throughput when per-snip extension hooks are active
+    (extra_sum_funcs — reference accumulate_stream + _add_snip extra_funcs,
+    coolpup.py:1236–1283, puputils.py:39–41). This path is per-snip Python
+    by design (user hooks see snip dicts); the number documents the cost of
+    leaving the device kernel."""
+    from functools import partial
+
+    import pandas as pd
+
+    from coolpuppy_tpu import CoordCreator, PileUpper
+    from coolpuppy_tpu.lib.puputils import accumulate_values
+
+    clr = _bench_cooler()
+    binsize = clr.binsize
+    length = clr.n_bins * binsize
+    rng = np.random.default_rng(seed)
+    starts = np.sort(rng.choice(length - 10_000, n_sites, replace=False))
+    feats = pd.DataFrame(
+        {
+            "chrom": "chr1",
+            "start": starts,
+            "end": starts + 1_000,
+            "name": ".",
+            "score": 0,
+            "strand": rng.choice(["+", "-"], n_sites),
+        }
+    )
+
+    def post(snip):
+        snip["center"] = float(np.nansum(snip["data"][8:13, 8:13]))
+        yield snip
+
+    def run(f):
+        t0 = time.time()
+        cc = CoordCreator(
+            f, binsize, features_format="bed", flank=100_000,
+            maxdist=maxdist, nshifts=0,
+        )
+        pu = PileUpper(clr, cc, expected=False, control=False)
+        pups = pu.pileupsWithControl(
+            postprocess_snip_func=post,
+            extra_sum_funcs={
+                "center": partial(accumulate_values, key="center")
+            },
+        )
+        n = int(pups.set_index("group").loc["all", "n"])
+        return n / (time.time() - t0), n
+
+    run(feats.iloc[:200])
+    rate, n = run(feats)
+    return rate, n
 
 
 def bench_scaling(n_loci=262_144, W=21, seed=0):
@@ -550,6 +612,11 @@ def main():
         action="store_true",
         help="scaling efficiency over a 1/2/4/8-device loci mesh (CPU here)",
     )
+    ap.add_argument(
+        "--extension",
+        action="store_true",
+        help="host snip-stream throughput with per-snip extension hooks",
+    )
     args = ap.parse_args()
     if args.quick:
         args.loci, args.chunk, args.ref_snips = 131_072, 32_768, 2_000
@@ -609,6 +676,23 @@ def main():
                             for k, v in row_mem_frac.items()
                         },
                     },
+                }
+            )
+        )
+        return
+
+    if args.extension:
+        import jax
+
+        rate, n = bench_extension()
+        print(
+            json.dumps(
+                {
+                    "metric": "extension_hostpath_snippets_per_sec",
+                    "value": round(rate),
+                    "unit": "snips/s",
+                    "vs_baseline": None,
+                    "detail": {"device": str(jax.devices()[0]), "snips": n},
                 }
             )
         )

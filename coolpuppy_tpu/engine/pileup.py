@@ -570,6 +570,15 @@ class PileUpper:
             dev = self._stage_region(region1, region2)
 
         if postprocess_snip_func is not None or extra_sum_funcs:
+            if not getattr(self, "_warned_hostpath", False):
+                self._warned_hostpath = True
+                logger.warning(
+                    "per-snip extension hooks (postprocess_snip_func / "
+                    "extra_sum_funcs) run on the HOST snip stream — expect "
+                    "~10-50k snips/s instead of the device kernel's "
+                    "millions; vectorize custom logic via "
+                    "postprocess_frame_func where possible"
+                )
             return self._pileup_region_hostpath(
                 region1,
                 region2,
@@ -703,11 +712,20 @@ class PileUpper:
                 # [n, 6] blocks of the coordinate components — no per-row
                 # string join here and no re-split in _finalize_table (the
                 # join+split round-trip dominated stripe runs at millions of
-                # snips)
+                # snips). Integer columns go through numpy's U-cast
+                # (~5x pandas astype(str) at millions of rows).
+                def _strcol(col):
+                    a = col.to_numpy()
+                    if a.dtype.kind in "iu":
+                        return a.astype("U20").astype(object)
+                    if a.dtype.kind == "O":
+                        return a
+                    return col.astype(str).to_numpy(dtype=object)
+
                 coord_blocks.append(
                     np.stack(
                         [
-                            chunk[c].astype(str).to_numpy(dtype=object)
+                            _strcol(chunk[c])
                             for c in (
                                 "chrom1", "start1", "end1",
                                 "chrom2", "start2", "end2",
@@ -968,7 +986,7 @@ class PileUpper:
         - expected emission (ooe=False): per-(group, dd0) histogram × toeplitz
           lookup on host (expected_toeplitz_sums) — no per-snip work at all
         - stripes: per-snip center row/col gather from the session's
-          normalized device tiles (make_stripe_step), O(ntot·W)
+          normalized device tiles (stripe variant of the quad kernel), O(ntot·W)
         - >512 groups: the same kernel over cid-sorted blocks of 512 groups,
           so VMEM accumulators stay bounded at any group count (by-window)
 
@@ -1205,7 +1223,6 @@ class PileUpper:
             coverage_histogram_sums,
             expected_toeplitz_sums,
             make_cov_step,
-            make_stripe_step,
         )
         from ..ops.pallas_gather import PALLAS_B
 
@@ -1255,34 +1272,22 @@ class PileUpper:
             out["exp_num"] = exp_num
 
         if self.store_stripes:
-            stripe_step = make_stripe_step(W, 0, PALLAS_B)
-            tmap_dev = jax.device_put(tile_stack.tile_map.ravel())
-            ncolp = np.int32(tile_stack.tile_map.shape[1])
-            hs_parts, vs_parts = [], []
-            chunk = 65536
-            for lo in range(0, ntot, chunk):
-                S = min(lo + chunk, ntot) - lo
-                S_pad = min(chunk, max(256, _next_pow2(S)))
-                r1p = np.zeros(S_pad, arr["r1"].dtype)
-                r2p = np.zeros(S_pad, arr["r2"].dtype)
-                r1p[:S] = arr["r1"][lo : lo + S]
-                r2p[:S] = arr["r2"][lo : lo + S]
-                h, v = stripe_step(
-                    session.ctiles_dev,
-                    session.ntiles_dev,
-                    tmap_dev,
-                    ncolp,
-                    r1p,
-                    r2p,
-                )
-                hs_parts.append((h, S))
-                vs_parts.append((v, S))
-            out["horizontal_stripe"] = np.concatenate(
-                [np.asarray(h, np.float64)[:S] for h, S in hs_parts]
+            # stripe planes come from the stripe variant of the quad kernel
+            # (one packed pass per orientation): horizontal = center row;
+            # vertical = the same kernel over TRANSPOSED stacks with swapped
+            # anchors (v_stripe(a,b)[i] = M[a+i, b+mid] = M^T[b+mid, a+i]),
+            # reversed per the reference (coolpup.py:1164–1188)
+            import jax.numpy as jnp
+
+            h = session.run_stripes(arr["r1"], arr["r2"])
+            tmT = np.ascontiguousarray(tile_stack.tile_map.T)
+            ctT = jnp.transpose(session.ctiles_dev, (0, 2, 1))
+            ntT = jnp.transpose(session.ntiles_dev, (0, 2, 1))
+            v = session.run_stripes(
+                arr["r2"], arr["r1"], ctiles=ctT, ntiles=ntT, tile_map=tmT
             )
-            out["vertical_stripe"] = np.concatenate(
-                [np.asarray(v, np.float64)[:S] for v, S in vs_parts]
-            )
+            out["horizontal_stripe"] = h.astype(np.float64)
+            out["vertical_stripe"] = v[:, ::-1].astype(np.float64)
 
     def _chunk_size_for(self, ntot, rescale=False):
         """Fixed pow2 device chunk size (bounded working set, one compiled
@@ -1315,31 +1320,85 @@ class PileUpper:
         oversized TAD no longer forces giant superwindows on every snip."""
         import contextlib as _ctx
 
+        import jax
+
+        from ..ops.gather import pad_pow2
+        from ..ops.tiles import make_restack, restack_indices
+
         timers = self._timers
+        # single-device path: scatter the region's pixels ONCE into a B=128
+        # base stack, upload it once, and build each extent bucket's big
+        # tiles ON DEVICE as an m×m mosaic take (restack_indices/
+        # make_restack) — re-scattering + re-uploading raw [K, hb, hb]
+        # stacks per bucket dominated the rescale wall through a slow
+        # host↔device link (round-3 profile: ~9s host builds + most of the
+        # ~24s device wall were per-bucket staging at 2k TADs)
+        use_restack = self.mesh is None
+        B0 = 128
+        ts128 = None
+        tiles128_dev = None
+        if use_restack:
+            tctx = timers.phase("tiles") if timers else _ctx.nullcontext()
+            with tctx:
+                ts128 = build_tile_stack_slab(
+                    dev["slab"], B0,
+                    r1=arr["r1"], r2=arr["r2"],
+                    window1=arr["h1"], window2=arr["w2"],
+                )
+            tiles128_dev = jax.device_put(pad_pow2(ts128.tiles, axis=0))
+
         extent = np.maximum(arr["h1"], arr["w2"]).astype(np.int64)
+        min_bucket = B0 if use_restack else 64
         buckets = np.maximum(
-            64, 1 << np.ceil(np.log2(np.maximum(extent, 1))).astype(np.int64)
+            min_bucket,
+            1 << np.ceil(np.log2(np.maximum(extent, 1))).astype(np.int64),
         )
         total = None
         stripes_h = stripes_v = None
         for hb in np.unique(buckets):
             idx = np.nonzero(buckets == hb)[0]
             sub = {k: arr[k][idx] for k in ("r1", "r2", "dd0", "h1", "w2")}
-            tctx = timers.phase("tiles") if timers else _ctx.nullcontext()
-            with tctx:
-                ts = build_tile_stack_slab(
-                    dev["slab"],
-                    int(hb),
-                    r1=sub["r1"],
-                    r2=sub["r2"],
-                    window1=sub["h1"],
-                    window2=sub["w2"],
+            staged = None
+            ts = None
+            if use_restack:
+                tile_map_b, ridx = restack_indices(
+                    ts128, int(hb), sub["r1"], sub["r2"],
+                    sub["h1"], sub["w2"],
                 )
+                tiles_b = make_restack(int(hb) // B0, B0)(
+                    tiles128_dev, pad_pow2(ridx, axis=0)
+                )
+                staged = (
+                    tiles_b,
+                    jax.device_put(pad_pow2(tile_map_b.ravel())),
+                    np.int32(tile_map_b.shape[1]),
+                )
+            else:
+                tctx = (
+                    timers.phase("tiles") if timers else _ctx.nullcontext()
+                )
+                with tctx:
+                    ts = build_tile_stack_slab(
+                        dev["slab"],
+                        int(hb),
+                        r1=sub["r1"],
+                        r2=sub["r2"],
+                        window1=sub["h1"],
+                        window2=sub["w2"],
+                    )
             if self.mesh is None and self._on_accelerator():
-                # two chunk shapes per extent bucket, ever: each (Hmax, S)
+                # three chunk shapes per extent bucket, ever: each (Hmax, S)
                 # combination is a fresh XLA compile (~minutes through this
-                # environment's tunnel; cached persistently afterwards)
-                S_sub = 256 if len(idx) <= 256 else 4096
+                # environment's tunnel; cached persistently afterwards).
+                # The middle tier matters: typical buckets hold a few
+                # hundred snips, and padding those to 4096 made the gather
+                # traffic ~10x the real work
+                if len(idx) <= 256:
+                    S_sub = 256
+                elif len(idx) <= 1024:
+                    S_sub = 1024
+                else:
+                    S_sub = 4096
             else:
                 S_sub = self._chunk_size_for(len(idx), rescale=True)
             out = self._device_accumulate(
@@ -1357,6 +1416,7 @@ class PileUpper:
                 coverage,
                 large_g,
                 hmax=int(hb),
+                staged=staged,
             )
             if self.store_stripes:
                 h = out.pop("horizontal_stripe")
@@ -1533,13 +1593,16 @@ class PileUpper:
         coverage,
         large_g,
         hmax=None,
+        staged=None,
     ):
         """XLA fallback path (CPU, mesh, rescale): stage the tile stack once,
         loop fixed-size sub-chunks through the fused step, keeping a running
         on-device total (one accumulator set live regardless of chunk count;
         dispatches stay async so chunks still pipeline). Stripe planes are
         per-snip output data and are retained per chunk (device-side) until
-        the single sync."""
+        the single sync. ``staged`` = (tiles_dev, tmap_dev, ncolp) supplies
+        already-device-resident tiles (the rescale bucket restack) and skips
+        the host upload entirely."""
         import jax
         import jax.numpy as jnp
 
@@ -1560,9 +1623,12 @@ class PileUpper:
         # step's input signature, and raw sizes would retrace per region
         from ..ops.gather import pad_pow2
 
-        tiles_dev = put(pad_pow2(tile_stack.tiles, axis=0))
-        tmap_dev = put(pad_pow2(tile_stack.tile_map.ravel()))
-        ncolp = np.int32(tile_stack.tile_map.shape[1])
+        if staged is not None:
+            tiles_dev, tmap_dev, ncolp = staged
+        else:
+            tiles_dev = put(pad_pow2(tile_stack.tiles, axis=0))
+            tmap_dev = put(pad_pow2(tile_stack.tile_map.ravel()))
+            ncolp = np.int32(tile_stack.tile_map.shape[1])
         common = tuple(
             put(x)
             for x in (

@@ -253,52 +253,6 @@ def make_cov_step(W: int, C: int, S: int):
     return step
 
 
-@lru_cache(maxsize=32)
-def make_stripe_step(W: int, S: int, B: int):
-    """Jitted per-snip stripe gather: center row (horizontal) and reversed
-    center column (vertical) of every snip window, with the reference's NaN
-    semantics, cut from the NORMALIZED tile stacks (contribution + num) the
-    pallas session already holds on device. O(S·W) HBM traffic — W× less
-    than re-gathering windows (reference stripes: coolpup.py:1164–1188)."""
-    mid = W // 2
-
-    def _line_row(tiles, tmap, ncolp, row, col0):
-        t1, o1 = row // B, row % B
-        t2, o2 = col0 // B, col0 % B
-        line = jnp.concatenate(
-            [tiles[tmap[t1 * ncolp + t2], o1], tiles[tmap[t1 * ncolp + t2 + 1], o1]]
-        )
-        return jax.lax.dynamic_slice(line, (o2,), (W,))
-
-    def _line_col(tiles, tmap, ncolp, row0, col):
-        t2, o2 = col // B, col % B
-        t1, o1 = row0 // B, row0 % B
-        line = jnp.concatenate(
-            [
-                tiles[tmap[t1 * ncolp + t2], :, o2],
-                tiles[tmap[(t1 + 1) * ncolp + t2], :, o2],
-            ]
-        )
-        return jax.lax.dynamic_slice(line, (o1,), (W,))
-
-    @jax.jit
-    def step(ctiles, ntiles, tmap, ncolp, r1, r2):
-        def one(a, b):
-            hc = _line_row(ctiles, tmap, ncolp, a + mid, b)
-            hn = _line_row(ntiles, tmap, ncolp, a + mid, b)
-            vc = _line_col(ctiles, tmap, ncolp, a, b + mid)
-            vn = _line_col(ntiles, tmap, ncolp, a, b + mid)
-
-            def nanify(c, n):
-                return jnp.where((n > 0) | jnp.isinf(c), c, jnp.nan)
-
-            return nanify(hc, hn), nanify(vc, vn)[::-1]
-
-        return jax.vmap(one)(r1, r2)
-
-    return step
-
-
 def coverage_histogram_sums(cid, r1, r2, cov1, cov2, W, G):
     """cov_start / cov_end [G, W] accumulated EXACTLY from per-(group,
     start-bin) histograms: the per-group sum of coverage-vector slices is

@@ -58,10 +58,21 @@ class PallasGatherConfig:
     interpret: bool = False
     B: int = PALLAS_B
     unroll: int = 2  # inner-loop unroll
+    # stripes=True additionally emits each snip's center ROW (horizontal
+    # stripe, reference coolpup.py:1164–1188) to an HBM output: rows land in
+    # a [stripe_cap, W] VMEM scratch at their per-quad index and one DMA per
+    # quad ships the slab to the sorted-stream offset. Vertical stripes are
+    # the same kernel over transposed stacks with swapped coordinates.
+    # S (the padded call length) rides the output shape, so it must be set.
+    stripes: bool = False
+    S: int = 0
+    stripe_cap: int = 2048
 
     def __post_init__(self):
         # W + alignment headroom must fit the superwindow rows
         assert self.W <= self.B - 8
+        if self.stripes:
+            assert self.S > 0
 
 
 def prep_quads(r1, r2, tile_map, B):
@@ -103,12 +114,19 @@ def _make_pallas_call(cfg: PallasGatherConfig):
     parallel/pallas_mesh.make_sharded_pallas_step under shard_map)."""
     W, B, C = cfg.W, cfg.B, cfg.capacity
 
+    CAP = cfg.stripe_cap
+    mid = W // 2
+
     def kernel(
         k00, k01, k10, k11, qstart, qcount, snip,
         ctiles_ref, ntiles_ref,
-        sum_ref, num_ref,
-        csup, nsup, sems,
+        *rest,
     ):
+        if cfg.stripes:
+            (sum_ref, num_ref, hs_ref,
+             csup, nsup, hrows, sems, sem_s) = rest
+        else:
+            sum_ref, num_ref, csup, nsup, sems = rest
         q = pl.program_id(0)
 
         @pl.when(q == 0)
@@ -168,8 +186,30 @@ def _make_pallas_call(cfg: PallasGatherConfig):
                     rows = pltpu.roll(rows, -a_off, 0)
                     return pltpu.roll(rows, -b, 1)[0:W, 0:W]
 
-                sum_ref[g] = sum_ref[g] + cut(csup)
-                num_ref[g] = num_ref[g] + cut(nsup)
+                if cfg.stripes:
+                    # full-width rolled rows: DMA lane slices must be
+                    # 128-aligned, so stripe rows stay B lanes wide in
+                    # VMEM/HBM (the first W lanes are the stripe; the jit
+                    # wrapper slices [:W] in XLA before any fetch)
+                    def cut_full(ref):
+                        rows = ref[pl.ds(a_al, WA), :]
+                        rows = pltpu.roll(rows, -a_off, 0)
+                        return pltpu.roll(rows, -b, 1)
+
+                    c_full = cut_full(csup)
+                    n_full = cut_full(nsup)
+                    sum_ref[g] = sum_ref[g] + c_full[0:W, 0:W]
+                    num_ref[g] = num_ref[g] + n_full[0:W, 0:W]
+                    # center row with the reference's NaN semantics
+                    # (masked & zero-count pixels -> NaN, poison +inf kept)
+                    hrow = c_full[mid, 0:B]
+                    nrow = n_full[mid, 0:B]
+                    hrows[pl.ds(j, 1), :] = jnp.where(
+                        (nrow > 0) | jnp.isinf(hrow), hrow, jnp.nan
+                    )[None, :]
+                else:
+                    sum_ref[g] = sum_ref[g] + cut(csup)
+                    num_ref[g] = num_ref[g] + cut(nsup)
 
             U = cfg.unroll
 
@@ -185,6 +225,45 @@ def _make_pallas_call(cfg: PallasGatherConfig):
 
             jax.lax.fori_loop(0, (cnt + U - 1) // U, body, 0)
 
+            if cfg.stripes:
+                # ship the quad's stripe rows to their sorted-stream slot.
+                # The copy is CAP rows (static shape); rows past cnt are
+                # stale, but the grid is sequential and each wait() orders
+                # the DMAs, so the NEXT quad (which starts at qstart+cnt)
+                # overwrites them — only rows past the final quad's count
+                # land in the output's padding tail (cfg.S + CAP rows).
+                cp = pltpu.make_async_copy(
+                    hrows.at[0:CAP, :],
+                    hs_ref.at[pl.ds(qstart[q], CAP)],
+                    sem_s,
+                )
+                cp.start()
+                cp.wait()
+
+    out_specs = [
+        pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, W, W), jnp.float32),
+        jax.ShapeDtypeStruct((C, W, W), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # csup
+        pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # nsup
+    ]
+    if cfg.stripes:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # hs (HBM)
+        out_shape.append(
+            jax.ShapeDtypeStruct((cfg.S + CAP, B), jnp.float32)
+        )
+        scratch.append(pltpu.VMEM((CAP, B), jnp.float32))  # hrows
+    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    if cfg.stripes:
+        scratch.append(pltpu.SemaphoreType.DMA)  # stripe slab copy
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(cfg.Q,),
@@ -192,26 +271,14 @@ def _make_pallas_call(cfg: PallasGatherConfig):
             pl.BlockSpec(memory_space=pltpu.ANY),  # ctiles (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),  # ntiles (HBM)
         ],
-        out_specs=[
-            pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # csup
-            pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # nsup
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((C, W, W), jnp.float32),
-            jax.ShapeDtypeStruct((C, W, W), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=cfg.interpret,
     )
 
@@ -222,12 +289,33 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
 
     @jax.jit
     def step(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
-        s, n = call(
+        out = call(
             k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles
         )
+        if cfg.stripes:
+            s, n, hs = out
+            # compact [S, W] before any fetch: the HBM plane is B lanes wide
+            # for DMA alignment, and fetching the padding would 6x the
+            # device->host bytes
+            return {"sum": s, "num": n, "hstripe": hs[: cfg.S, : cfg.W]}
+        s, n = out
         return {"sum": s, "num": n}
 
     return step
+
+
+def _stripe_unsort_gather(parts, idx, n):
+    """Concat per-call stripe planes and gather rows back to stream order
+    on device; exact [n, W] result (one host fetch for the whole stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(parts, idx):
+        flat = jnp.concatenate(parts, axis=0)
+        return jnp.take(flat, idx, axis=0)
+
+    return f(parts, idx)[:n]
 
 
 def pack_snips(o1, o2, cid):
@@ -238,6 +326,105 @@ def pack_snips(o1, o2, cid):
         | (np.asarray(o2, np.int32) << 17)
         | np.asarray(cid, np.int32)
     )
+
+
+def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,
+                max_quad=None, return_perm=False):
+    """Globally quad-sort a snip stream and greedily pack it into
+    fixed-shape kernel calls.
+
+    One counting sort (native C++; numpy keysort fallback) orders the
+    packed per-snip words by tile quad; consecutive quads then pack into
+    calls bounded by ``chunk`` snips and ``Q_CAP`` quad slots, so each quad
+    is DMA-staged once per stream and the grid length tracks real work. A
+    quad larger than the snip budget splits across calls (its tiles
+    re-stage); ``max_quad`` additionally splits quads into runs of at most
+    that many snips (the stripe kernel's VMEM row-scratch bound). Returns
+    ``(snips, packs)`` — ``snips`` is the sorted packed-word array and each
+    pack is ``([k00, k01, k10, k11], qstart, qcount, snip_offset,
+    snip_count)`` with qstart relative to the call's snip slice — plus the
+    sort permutation when ``return_perm`` (so per-snip kernel outputs can
+    be unsorted back to stream order). An empty stream yields one
+    all-empty call (zeroed accumulators)."""
+    from .. import native
+
+    ncol = tile_map.shape[1]
+    n = len(r1)
+    r1a = np.asarray(r1)
+    r2a = np.asarray(r2)
+    packed = pack_snips(r1a % B, r2a % B, cid)
+    nbuckets = int(tile_map.shape[0] - 1) * ncol + 1
+    q32 = ((r1a // B).astype(np.int64) * ncol + (r2a // B)).astype(np.int32)
+    perm = None
+    if native.quad_sort is not None and nbuckets <= (1 << 23) and n > 0:
+        if return_perm:
+            perm, counts_full = native.quad_sort(
+                q32, np.arange(n, dtype=np.int32), nbuckets
+            )
+            snips = packed[perm]
+        else:
+            snips, counts_full = native.quad_sort(q32, packed, nbuckets)
+        uniq = np.flatnonzero(counts_full)
+        counts = counts_full[uniq]
+    else:
+        if return_perm:
+            perm = np.argsort(q32, kind="stable").astype(np.int32)
+            snips = packed[perm]
+            qs = q32[perm]
+        else:
+            # 47-bit key: quad id above the 31 packed payload bits
+            key = (q32.astype(np.int64) << 31) | packed.astype(np.int64)
+            key.sort(kind="stable")
+            snips = (key & 0x7FFFFFFF).astype(np.int32)
+            qs = (key >> 31).astype(np.int32)
+        if len(snips):
+            bnd = np.flatnonzero(np.diff(qs)) + 1
+            starts = np.concatenate([[0], bnd])
+            counts = np.diff(np.concatenate([starts, [len(qs)]]))
+            uniq = qs[starts.astype(np.int64)]
+        else:
+            uniq = counts = np.array([], np.int64)
+    ut1 = uniq // ncol
+    ut2 = uniq % ncol
+    qk = (
+        tile_map[ut1, ut2].astype(np.int32),
+        tile_map[ut1, ut2 + 1].astype(np.int32),
+        tile_map[ut1 + 1, ut2].astype(np.int32),
+        tile_map[ut1 + 1, ut2 + 1].astype(np.int32),
+    )
+
+    packs = []
+    qi, pos, base = 0, 0, 0
+    nu = len(uniq)
+    if nu == 0:
+        packs.append((
+            [np.zeros(Q_CAP, np.int32) for _ in range(4)],
+            np.zeros(Q_CAP, np.int32), np.zeros(Q_CAP, np.int32), 0, 0,
+        ))
+    while qi < nu:
+        ks = [np.zeros(Q_CAP, np.int32) for _ in range(4)]
+        qstart = np.zeros(Q_CAP, np.int32)
+        qcount = np.zeros(Q_CAP, np.int32)
+        nq, used = 0, 0
+        while qi < nu and nq < Q_CAP and used < chunk:
+            take = min(counts[qi] - pos, chunk - used)
+            if max_quad is not None:
+                take = min(take, max_quad)
+            for a, src in zip(ks, qk):
+                a[nq] = src[qi]
+            qstart[nq] = used
+            qcount[nq] = take
+            nq += 1
+            used += take
+            pos += take
+            if pos == counts[qi]:
+                qi += 1
+                pos = 0
+        packs.append((ks, qstart, qcount, base, used))
+        base += used
+    if return_perm:
+        return snips, packs, perm
+    return snips, packs
 
 
 
@@ -348,79 +535,15 @@ class PallasPileupSession:
         (``pad_cid`` is retained for API compatibility)."""
         import jax.numpy as jnp
 
-        from .. import native
-
-        B = self.tile_stack.B
-        tile_map = self.tile_stack.tile_map
-        ncol = tile_map.shape[1]
-        n = len(r1)
         interpret = bool(self.cfg_kw.get("interpret"))
         if interpret:
             # CPU tests: bound the padded chunk to the workload size
-            chunk = min(chunk, max(64, _ceil_pow2(max(1, n))))
+            chunk = min(chunk, max(64, _ceil_pow2(max(1, len(r1)))))
         Q_CAP = 64 if interpret else 128
-
-        r1a = np.asarray(r1)
-        r2a = np.asarray(r2)
-        packed = pack_snips(r1a % B, r2a % B, cid)
-        nbuckets = int(tile_map.shape[0] - 1) * ncol + 1
-        q32 = ((r1a // B).astype(np.int64) * ncol + (r2a // B)).astype(
-            np.int32
+        snips, packs = pack_stream(
+            r1, r2, cid, self.tile_stack.tile_map, self.tile_stack.B,
+            Q_CAP, chunk,
         )
-        if native.quad_sort is not None and nbuckets <= (1 << 23) and n > 0:
-            snips, counts_full = native.quad_sort(q32, packed, nbuckets)
-            uniq = np.flatnonzero(counts_full)
-            counts = counts_full[uniq]
-        else:
-            # 47-bit key: quad id above the 31 packed payload bits
-            key = (q32.astype(np.int64) << 31) | packed.astype(np.int64)
-            key.sort(kind="stable")
-            snips = (key & 0x7FFFFFFF).astype(np.int32)
-            qs = (key >> 31).astype(np.int32)
-            bnd = np.flatnonzero(np.diff(qs)) + 1
-            starts = np.concatenate([[0], bnd]) if len(qs) else np.array([], np.int64)
-            counts = np.diff(np.concatenate([starts, [len(qs)]])) if len(qs) else starts
-            uniq = qs[starts.astype(np.int64)] if len(qs) else starts
-        ut1 = uniq // ncol
-        ut2 = uniq % ncol
-        qk = (
-            tile_map[ut1, ut2].astype(np.int32),
-            tile_map[ut1, ut2 + 1].astype(np.int32),
-            tile_map[ut1 + 1, ut2].astype(np.int32),
-            tile_map[ut1 + 1, ut2 + 1].astype(np.int32),
-        )
-
-        # greedy pack: consecutive quads until either budget is hit; a quad
-        # larger than the snip budget splits across calls (its tiles re-stage)
-        packs = []
-        qi, pos, base = 0, 0, 0
-        nu = len(uniq)
-        if nu == 0:
-            # empty stream: one all-empty call still produces the zeroed
-            # [C, W, W] accumulators callers expect
-            packs.append((
-                [np.zeros(Q_CAP, np.int32) for _ in range(4)],
-                np.zeros(Q_CAP, np.int32), np.zeros(Q_CAP, np.int32), 0, 0,
-            ))
-        while qi < nu:
-            ks = [np.zeros(Q_CAP, np.int32) for _ in range(4)]
-            qstart = np.zeros(Q_CAP, np.int32)
-            qcount = np.zeros(Q_CAP, np.int32)
-            nq, used = 0, 0
-            while qi < nu and nq < Q_CAP and used < chunk:
-                take = min(counts[qi] - pos, chunk - used)
-                for a, src in zip(ks, qk):
-                    a[nq] = src[qi]
-                qstart[nq] = used
-                qcount[nq] = take
-                nq += 1
-                used += take
-                pos += take
-                if pos == counts[qi]:
-                    qi += 1
-                    pos = 0
-            packs.append((ks, qstart, qcount, base, used))
-            base += used
 
         def prep(c):
             # pad + async upload of one call's arrays (device_put returns
@@ -455,6 +578,66 @@ class PallasPileupSession:
         if not fetch:
             return total
         return self.finalize([total])
+
+    def run_stripes(self, r1, r2, chunk=131072, ctiles=None, ntiles=None,
+                    tile_map=None):
+        """Per-snip center-ROW (horizontal stripe) planes via the stripe
+        variant of the quad kernel — one packed pass emitting [n, W] rows in
+        ORIGINAL stream order (reference coolpup.py:1164–1188). Vertical
+        stripes are this same call on TRANSPOSED stacks with swapped
+        coordinates (callers then reverse the rows). ``ctiles``/``ntiles``/
+        ``tile_map`` override the session's stacks for that transposed
+        pass."""
+        B = self.tile_stack.B
+        tm = self.tile_stack.tile_map if tile_map is None else tile_map
+        ct = self.ctiles_dev if ctiles is None else ctiles
+        nt = self.ntiles_dev if ntiles is None else ntiles
+        n = len(r1)
+        if n == 0:
+            W = self.cfg_kw["W"]
+            return np.zeros((0, W), np.float32)
+        interpret = bool(self.cfg_kw.get("interpret"))
+        if interpret:
+            chunk = min(chunk, max(64, _ceil_pow2(n)))
+        Q_CAP = 64 if interpret else 128
+        CAP = min(2048, chunk)
+        zeros = np.zeros(n, np.int32)
+        snips, packs, perm = pack_stream(
+            r1, r2, zeros, tm, B, Q_CAP, chunk,
+            max_quad=CAP, return_perm=True,
+        )
+        cfg = PallasGatherConfig(
+            Q=Q_CAP, stripes=True, S=chunk, stripe_cap=CAP, **self.cfg_kw
+        )
+        step = make_pallas_pileup_step(cfg)
+        outs = []
+        for ks, qstart, qcount, lo, used in packs:
+            sn = np.zeros(chunk, np.int32)
+            sn[:used] = snips[lo : lo + used]
+            out = step(
+                *(jax.device_put(x) for x in (*ks, qstart, qcount, sn)),
+                ct, nt,
+            )
+            outs.append((out["hstripe"], used))
+        # unsort to stream order ON DEVICE (a [n, W] row gather is ~ms
+        # there; the host scatter it replaces cost seconds at 1M rows),
+        # then ONE exact-size fetch
+        bases = np.zeros(len(packs) + 1, np.int64)
+        for c, (_, _, _, lo, used) in enumerate(packs):
+            bases[c + 1] = bases[c] + used
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        call_of = np.searchsorted(bases, inv, side="right") - 1
+        padded_idx = (
+            call_of * chunk + (inv - bases[call_of])
+        ).astype(np.int32)
+        n_pad = max(64, _ceil_pow2(n))
+        idx_up = np.zeros(n_pad, np.int32)
+        idx_up[:n] = padded_idx
+        gathered = _stripe_unsort_gather(
+            tuple(h for h, _ in outs), jax.device_put(idx_up), n
+        )
+        return np.asarray(gathered)
 
     @staticmethod
     def finalize(outs):

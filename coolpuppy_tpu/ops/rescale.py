@@ -68,16 +68,29 @@ def resize_matrix(h, R, Hmax, dtype=jnp.float32):
 
 
 def resize2d(win, h, w, R, Hmax):
-    """Area-resize one [Hmax, Hmax] padded window with logical size (h, w)."""
+    """Area-resize one [Hmax, Hmax] padded window with logical size (h, w).
+
+    HIGHEST precision: the MXU's default f32 path (bf16 passes) costs ~6e-4
+    relative error vs the host/CPU operator — visible in TPU-vs-CPU parity
+    of rescaled pileups; full-f32 matmuls keep the deviation ~1e-6."""
     L = resize_matrix(h, R, Hmax)
     Rm = resize_matrix(w, R, Hmax)
-    tmp = jnp.dot(L, win, preferred_element_type=jnp.float32)
-    return jnp.dot(tmp, Rm.T, preferred_element_type=jnp.float32)
+    tmp = jnp.dot(
+        L, win, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.dot(
+        tmp, Rm.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def resize1d(vec, h, R, Hmax):
     L = resize_matrix(h, R, Hmax)
-    return jnp.dot(L, vec[:, None], preferred_element_type=jnp.float32)[:, 0]
+    return jnp.dot(
+        L, vec[:, None], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
 
 
 def area_resize_host(arr, out_shape):

@@ -199,6 +199,56 @@ def build_tile_stack_slab(
     return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
 
 
+def restack_indices(ts, Bb, r1, r2, window1, window2):
+    """Host side of the on-device bucket restack: map a ``Bb``-sized tile
+    grid (Bb a multiple of ts.B) onto the existing ts.B tile stack.
+
+    Returns ``(tile_map_b, idx)``: ``tile_map_b`` is the [nr+1, nc+1]
+    Bb-grid -> bucket-stack-index map, and ``idx`` [Kb+1, m, m] (m=Bb//B)
+    holds source indices into ts.tiles so that bucket tile k is the m×m
+    mosaic ts.tiles[idx[k]] (0 = shared zero tile). The device then builds
+    the bucket stack with one take+transpose+reshape instead of the host
+    re-scattering the region's pixels per extent bucket (the rescale path's
+    dominant cost through a slow host↔device link)."""
+    B = ts.B
+    m = Bb // B
+    assert m * B == Bb
+    pairs, nr, nc = touched_tiles(r1, r2, window1, window2, Bb, ts.shape)
+    Kb = len(pairs)
+    tile_map_b = np.zeros((nr + 1, nc + 1), dtype=np.int32)
+    tr, tc = pairs // nc, pairs % nc
+    tile_map_b[tr, tc] = np.arange(1, Kb + 1, dtype=np.int32)
+    g = ts.tile_map
+    rr = np.broadcast_to(
+        (tr[:, None, None] * m) + np.arange(m)[None, :, None], (Kb, m, m)
+    )
+    cc = np.broadcast_to(
+        (tc[:, None, None] * m) + np.arange(m)[None, None, :], (Kb, m, m)
+    )
+    idx = np.zeros((Kb + 1, m, m), np.int32)
+    ok = (rr < g.shape[0]) & (cc < g.shape[1])
+    vals = np.zeros((Kb, m, m), np.int32)
+    vals[ok] = g[rr[ok], cc[ok]]
+    idx[1:] = vals
+    return tile_map_b, idx
+
+
+def make_restack(m, B):
+    """Jitted on-device restack: [K128, B, B] tiles + [Kb+1, m, m] indices
+    -> [Kb+1, m·B, m·B] bucket tiles (see restack_indices)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(tiles, idx):
+        sub = tiles[idx]  # [Kb+1, m, m, B, B]
+        return jnp.transpose(sub, (0, 1, 3, 2, 4)).reshape(
+            idx.shape[0], m * B, m * B
+        )
+
+    return f
+
+
 def assemble_window(tiles, tile_map, B, r1, r2, h, w):
     """Cut one [h, w] dense window starting at (r1, r2) out of a tile stack —
     the host-side (numpy) twin of the device gather, used by the per-snip

@@ -37,9 +37,7 @@ from ..ops.pallas_gather import (
     PallasGatherConfig,
     _ceil_pow2,
     _make_pallas_call,
-    pack_snips,
-    pad_quads,
-    prep_quads,
+    pack_stream,
 )
 
 
@@ -244,56 +242,72 @@ class PallasMeshSession:
             self.ncolp = int(part.ncolp)
 
     def run_chunk(self, r1_rows, r2_rows, cid_rows, S_dev, pad_cid):
-        """One sharded kernel step over per-device snip lists (python lists
-        of arrays, length n). Quad-sorts each device's chunk against its own
-        tile_map; returns the psum'd {sum, num} (device-resident)."""
+        """Sharded packed kernel calls over per-device snip lists (python
+        lists of arrays, length n). Each device's chunk is globally
+        quad-sorted against its OWN tile_map and greedily packed
+        (ops/pallas_gather.pack_stream — same dispatch shape discipline as
+        the single-device session: Q_CAP quad slots, S_dev snip budget);
+        devices with fewer packed calls than the busiest one run all-empty
+        calls (qcount 0 ⇒ the kernel grid skips every step). Returns the
+        per-call-accumulated psum'd {sum, num} (device-resident)."""
         import jax
+        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = self.mesh
         n = int(mesh.shape["loci"])
         B = self.B
-        q_floor = 256 if self.cfg_kw.get("interpret") else 1024
-        preps = []
-        nq_max = 1
+        interpret = bool(self.cfg_kw.get("interpret"))
+        Q_CAP = 64 if interpret else 128
+        # per-call snip budget: the per-device shard, capped by the SMEM
+        # scalar-prefetch budget (bigger shards split into more calls)
+        chunk = min(int(S_dev), 131072)
+        per_dev = []
         for d in range(n):
-            r1d = np.zeros(S_dev, np.int32)
-            r2d = np.zeros(S_dev, np.int32)
-            cidd = np.full(S_dev, pad_cid, np.int32)
-            m = len(r1_rows[d])
-            r1d[:m] = r1_rows[d]
-            r2d[:m] = r2_rows[d]
-            cidd[:m] = cid_rows[d]
             tm = self.tile_maps[d][: (len(self.tile_maps[d]) // self.ncolp)
                                    * self.ncolp].reshape(-1, self.ncolp)
-            order, quads = prep_quads(r1d, r2d, tm, B)
-            nq_max = max(nq_max, len(quads["qstart"]))
-            preps.append((order, quads, r1d, r2d, cidd))
-        Q = _ceil_pow2(max(q_floor, nq_max))
-        batch = {
-            k: np.zeros((n, Q), np.int32)
-            for k in ("k00", "k01", "k10", "k11", "qstart", "qcount")
-        }
-        snip = np.zeros((n, S_dev), np.int32)
-        for d, (order, quads, r1d, r2d, cidd) in enumerate(preps):
-            quads = pad_quads(quads, Q)
-            for k in batch:
-                batch[k][d] = quads[k]
-            snip[d] = pack_snips(
-                r1d[order] % B, r2d[order] % B, cidd[order]
+            snips, packs = pack_stream(
+                np.asarray(r1_rows[d], np.int64),
+                np.asarray(r2_rows[d], np.int64),
+                np.asarray(cid_rows[d], np.int32),
+                tm, B, Q_CAP, chunk,
             )
+            per_dev.append((snips, packs))
+        n_calls = max(len(p) for _, p in per_dev)
 
-        cfg = PallasGatherConfig(Q=Q, **self.cfg_kw)
+        cfg = PallasGatherConfig(Q=Q_CAP, **self.cfg_kw)
         step = make_sharded_pallas_step(cfg, mesh, self.part is not None)
         shard = NamedSharding(mesh, P("loci"))
-        args = tuple(
-            jax.device_put(x, shard)
-            for x in (
-                batch["k00"], batch["k01"], batch["k10"], batch["k11"],
-                batch["qstart"], batch["qcount"], snip,
+        total = None
+        for c in range(n_calls):
+            batch = {
+                k: np.zeros((n, Q_CAP), np.int32)
+                for k in ("k00", "k01", "k10", "k11", "qstart", "qcount")
+            }
+            snip = np.zeros((n, chunk), np.int32)
+            for d, (snips, packs) in enumerate(per_dev):
+                if c >= len(packs):
+                    continue
+                ks, qstart, qcount, lo, used = packs[c]
+                for k, arr in zip(
+                    ("k00", "k01", "k10", "k11"), ks
+                ):
+                    batch[k][d] = arr
+                batch["qstart"][d] = qstart
+                batch["qcount"][d] = qcount
+                snip[d, :used] = snips[lo : lo + used]
+            args = tuple(
+                jax.device_put(x, shard)
+                for x in (
+                    batch["k00"], batch["k01"], batch["k10"], batch["k11"],
+                    batch["qstart"], batch["qcount"], snip,
+                )
             )
-        )
-        return step(*args, self.ctiles, self.ntiles)
+            out = step(*args, self.ctiles, self.ntiles)
+            total = (
+                out if total is None else jax.tree.map(jnp.add, total, out)
+            )
+        return total
 
 
 def _normalize_vectors(B, nrp, ncp, valid1, valid2, evec, ooe):
