@@ -176,3 +176,59 @@ def test_packed_dispatch_edges():
     )
     assert empty["sum"].shape == (C, W, W)
     assert float(empty["sum"].sum()) == 0.0 and float(empty["num"].sum()) == 0.0
+
+
+def test_run_stripes_matches_oracle():
+    """run_stripes (stripe variant of the quad kernel): h/v planes in stream
+    order vs a dense oracle, across quad splits (max_quad) and transposed
+    stacks for the vertical orientation (reference coolpup.py:1164-1188)."""
+    import jax.numpy as jnp
+
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+
+    rng = np.random.default_rng(3)
+    n, W, B = 500, 11, 128
+    dense = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.25)
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    valid = (rng.random(n) > 0.08).astype(np.float32)
+    evec = (4.0 / (1.0 + np.arange(n))).astype(np.float32)
+    S = 900
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = rng.integers(0, n - W, S).astype(np.int32)
+    r1[:300] = 5  # heavy quad -> max_quad splitting inside run_stripes
+    r2[:300] = 9
+
+    ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+    session = PallasPileupSession(
+        ts, valid, valid, evec,
+        dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True,
+             interpret=True),
+    )
+    h = session.run_stripes(r1, r2)
+    tmT = np.ascontiguousarray(ts.tile_map.T)
+    ctT = jnp.transpose(session.ctiles_dev, (0, 2, 1))
+    ntT = jnp.transpose(session.ntiles_dev, (0, 2, 1))
+    v = session.run_stripes(r2, r1, ctiles=ctT, ntiles=ntT, tile_map=tmT)
+    v = v[:, ::-1]
+
+    # dense oracle (reference hot-loop semantics)
+    mat = dense.copy().astype(np.float64)
+    bad = valid == 0
+    mat[bad, :] = np.nan
+    mat[:, bad] = np.nan
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    mat[np.abs(ii - jj) < 2] = np.nan
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat = mat / evec.astype(np.float64)[np.abs(ii - jj)]
+    mid = W // 2
+    for k in rng.integers(0, S, 40):
+        a, b = int(r1[k]), int(r2[k])
+        want_h = mat[a + mid, b : b + W]
+        want_v = mat[a : a + W, b + mid][::-1]
+        for got, want in ((h[k], want_h), (v[k], want_v)):
+            fin = np.isfinite(want)
+            np.testing.assert_array_equal(np.isfinite(got), fin)
+            np.testing.assert_allclose(
+                got[fin], want[fin], rtol=1e-5, atol=1e-5
+            )
