@@ -75,38 +75,6 @@ class PallasGatherConfig:
             assert self.S > 0
 
 
-def prep_quads(r1, r2, tile_map, B):
-    """Sort snips by tile quad; returns (order, quad scalar arrays dict)."""
-    t1, t2 = r1 // B, r2 // B
-    ncol = tile_map.shape[1]
-    q = t1.astype(np.int64) * ncol + t2
-    order = np.argsort(q, kind="stable")
-    qs = q[order]
-    uniq, starts, counts = np.unique(qs, return_index=True, return_counts=True)
-    ut1 = (uniq // ncol).astype(np.int64)
-    ut2 = (uniq % ncol).astype(np.int64)
-    quads = {
-        "k00": tile_map[ut1, ut2].astype(np.int32),
-        "k01": tile_map[ut1, ut2 + 1].astype(np.int32),
-        "k10": tile_map[ut1 + 1, ut2].astype(np.int32),
-        "k11": tile_map[ut1 + 1, ut2 + 1].astype(np.int32),
-        "qstart": starts.astype(np.int32),
-        "qcount": counts.astype(np.int32),
-    }
-    return order, quads
-
-
-def pad_quads(quads, Q):
-    out = {}
-    n = len(quads["qstart"])
-    assert n <= Q, f"too many quads ({n}) for Q={Q}"
-    for k, v in quads.items():
-        arr = np.zeros(Q, np.int32)
-        arr[:n] = v
-        out[k] = arr
-    return out
-
-
 @lru_cache(maxsize=32)
 def _make_pallas_call(cfg: PallasGatherConfig):
     """The raw pallas_call for one packed call (unjitted — wrapped by
