@@ -594,18 +594,20 @@ class CoordCreator:
         for lo in range(0, len(li), self.chunk_size):
             ls = li[lo : lo + self.chunk_size]
             rs = ri[lo : lo + self.chunk_size]
-            # per-column takes into a dict skip pandas block consolidation
-            # (measurably faster than concat of two iloc frames at 1M+ rows)
-            data = {
-                c + "1": iv[c].take(ls).reset_index(drop=True)
+            # raw-array takes into a dict: Series.take drags index machinery
+            # through every column, and round-tripping Arrow-backed string
+            # columns through numpy object arrays makes pandas re-build the
+            # Arrow buffers per chunk (~1s/M rows each at 20+ columns)
+            arrs = {
+                c: (
+                    iv[c].to_numpy()
+                    if isinstance(iv[c].dtype, np.dtype)
+                    else iv[c].array
+                )
                 for c in iv.columns
             }
-            data.update(
-                {
-                    c + "2": iv[c].take(rs).reset_index(drop=True)
-                    for c in iv.columns
-                }
-            )
+            data = {c + "1": arrs[c].take(ls) for c in iv.columns}
+            data.update({c + "2": arrs[c].take(rs) for c in iv.columns})
+            data["distance"] = centers[rs] - centers[ls]
             combo = pd.DataFrame(data)
-            combo["distance"] = centers[rs] - centers[ls]
             yield self._finalize(combo, control, groupby, modify_func, rng)
