@@ -331,18 +331,32 @@ void tile_scatter_wtri(const int64_t* rows, const int64_t* cols,
 // lower-ranked threads.
 void quad_sort(const int32_t* q, const int32_t* payload, int64_t n,
                int64_t nbuckets, int32_t* out_payload, int64_t* counts) {
+#ifdef _OPENMP
   int nt = omp_get_max_threads();
   if (nt > 16) nt = 16;
   if (n < (int64_t)1 << 16) nt = 1;
+  // cap the transient per-thread histogram at ~64 MB: with nbuckets up to
+  // 2^23 a 16-thread histogram would be a ~1 GB allocation
+  while (nt > 1 && (size_t)nt * nbuckets * sizeof(int64_t) > (64u << 20))
+    nt /= 2;
+#else
+  const int nt = 1;
+#endif
   std::vector<int64_t> hist((size_t)nt * nbuckets, 0);
 #pragma omp parallel num_threads(nt)
   {
+#ifdef _OPENMP
     const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
     const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
     int64_t* h = hist.data() + (size_t)t * nbuckets;
     for (int64_t i = lo; i < hi; i++) h[q[i]]++;
+#ifdef _OPENMP
 #pragma omp barrier
 #pragma omp single
+#endif
     {
       // column-major prefix over (bucket, thread): cursor for thread t at
       // bucket b = sum of all buckets < b plus hist of threads < t at b

@@ -288,12 +288,23 @@ def _stripe_unsort_gather(parts, idx, n):
 
 def pack_snips(o1, o2, cid):
     """Pack per-snip (row offset < 128, col offset < 128, group id < 2^17)
-    into the kernel's single int32 SMEM word (layout in the kernel body)."""
-    return (
-        (np.asarray(o1, np.int32) << 24)
-        | (np.asarray(o2, np.int32) << 17)
-        | np.asarray(cid, np.int32)
-    )
+    into the kernel's single int32 SMEM word (layout in the kernel body).
+    Out-of-range fields would overflow into adjacent fields and decode as
+    wrong offsets/groups with no error — fail loudly instead."""
+    o1 = np.asarray(o1, np.int32)
+    o2 = np.asarray(o2, np.int32)
+    cid = np.asarray(cid, np.int32)
+    if len(o1):
+        assert o1.max(initial=0) < 128 and o1.min(initial=0) >= 0, (
+            "pack_snips: row offset out of the 7-bit field (B must be 128)"
+        )
+        assert o2.max(initial=0) < 128 and o2.min(initial=0) >= 0, (
+            "pack_snips: col offset out of the 7-bit field (B must be 128)"
+        )
+        assert cid.max(initial=0) < (1 << 17) and cid.min(initial=0) >= 0, (
+            "pack_snips: group id out of the 17-bit field"
+        )
+    return (o1 << 24) | (o2 << 17) | cid
 
 
 def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,

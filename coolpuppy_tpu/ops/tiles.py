@@ -233,9 +233,12 @@ def restack_indices(ts, Bb, r1, r2, window1, window2):
     return tile_map_b, idx
 
 
+@lru_cache(maxsize=32)
 def make_restack(m, B):
     """Jitted on-device restack: [K128, B, B] tiles + [Kb+1, m, m] indices
-    -> [Kb+1, m·B, m·B] bucket tiles (see restack_indices)."""
+    -> [Kb+1, m·B, m·B] bucket tiles (see restack_indices). Cached per
+    (m, B) like the step factories — a fresh closure per call would
+    re-trace/re-lower the take for every extent bucket of every region."""
     import jax
     import jax.numpy as jnp
 
