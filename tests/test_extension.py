@@ -132,3 +132,75 @@ def test_snip_hook_multiplies_groups(toy):
     assert by_group.loc["all", "n"] == (
         by_group.loc["left", "n"] + by_group.loc["right", "n"]
     )
+
+
+def test_accumulate_values_frame_column_device_path(toy):
+    """accumulate_values over a FRAME column must stay on the device kernel
+    (no host snip stream) and reproduce the host path's lists exactly
+    (VERDICT r3 #4; reference puputils.py:244–253)."""
+    clr, dense, weights = toy
+    rng = np.random.default_rng(5)
+    feats = pd.DataFrame(
+        {
+            "chrom": ["chr1"] * 6,
+            "start": np.array([102, 104, 107, 110, 113, 117]) * BINSIZE,
+            "end": np.array([102, 104, 107, 110, 113, 117]) * BINSIZE
+            + 500_000,
+            "strand": ["+", "-", "+", "-", "+", "-"],
+            "score": rng.uniform(0, 10, 6).round(3),
+        }
+    )
+    funcs = {"score1": partial(accumulate_values, key="score1")}
+
+    def build(force_host):
+        cc = CoordCreator(
+            feats, BINSIZE, features_format="bed", flank=3 * BINSIZE,
+            nshifts=0, mindist=0,
+        )
+        pu = PileUpper(clr, cc, expected=False, control=False)
+        kw = dict(extra_sum_funcs=funcs, groupby=["strand1", "strand2"])
+        if force_host:
+            kw["postprocess_snip_func"] = lambda snip: snip
+        return pu.pileupsWithControl(**kw)
+
+    via_device = build(False)
+    via_host = build(True)
+    a = via_device.set_index(via_device["group"].astype(str))
+    b = via_host.set_index(via_host["group"].astype(str))
+    assert set(a.index) == set(b.index)
+    for g in a.index:
+        assert a.loc[g, "n"] == b.loc[g, "n"]
+        np.testing.assert_allclose(
+            np.asarray(a.loc[g, "score1"], dtype=float),
+            np.asarray(b.loc[g, "score1"], dtype=float),
+            err_msg=str(g),
+        )
+        np.testing.assert_allclose(
+            a.loc[g, "data"], b.loc[g, "data"],
+            rtol=1e-5, atol=1e-8, equal_nan=True, err_msg=str(g),
+        )
+
+
+def test_opaque_extra_sum_func_falls_back_to_host(toy):
+    """A non-accumulate_values extra func (opaque callable) must still work
+    via the host stream."""
+    clr, dense, weights = toy
+    feats = pd.DataFrame(
+        {
+            "chrom": ["chr1"] * 3,
+            "start": np.array([103, 108, 114]) * BINSIZE,
+            "end": np.array([103, 108, 114]) * BINSIZE + 500_000,
+        }
+    )
+
+    def count_snips(pup, snip):
+        pup["snipcount"] = pup.get("snipcount", 0) + 1
+        return pup
+
+    cc = CoordCreator(
+        feats, BINSIZE, features_format="bed", flank=2 * BINSIZE, nshifts=0
+    )
+    pu = PileUpper(clr, cc, expected=False, control=False)
+    pups = pu.pileupsWithControl(extra_sum_funcs={"snipcount": count_snips})
+    row = pups.set_index("group").loc["all"]
+    assert row["snipcount"] == row["n"] > 0
