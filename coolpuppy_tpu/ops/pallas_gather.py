@@ -272,16 +272,23 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
     return step
 
 
-def _stripe_unsort_gather(parts, idx, n):
+def _stripe_unsort_gather(parts, idx, n, f16=False):
     """Concat per-call stripe planes and gather rows back to stream order
-    on device; exact [n, W] result (one host fetch for the whole stream)."""
+    on device; exact [n, W] result (one host fetch for the whole stream).
+    ``f16=True`` casts to float16 ON DEVICE before the fetch — per-snip
+    stripe planes are the dominant device->host payload of stripes mode
+    (1.2 GB at 7M snips through a ~27 MB/s tunnel), and f16 halves it;
+    NaN/inf survive the cast and typical pile-up values (1e-4..1e4) keep
+    ~3 significant digits, plenty for stack-up plots and scores. Pass
+    f16=False (PileUpper.stripe_f16 = False) for full-precision planes."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def f(parts, idx):
         flat = jnp.concatenate(parts, axis=0)
-        return jnp.take(flat, idx, axis=0)
+        out = jnp.take(flat, idx, axis=0)
+        return out.astype(jnp.float16) if f16 else out
 
     return f(parts, idx)[:n]
 
@@ -559,7 +566,7 @@ class PallasPileupSession:
         return self.finalize([total])
 
     def run_stripes(self, r1, r2, chunk=131072, ctiles=None, ntiles=None,
-                    tile_map=None):
+                    tile_map=None, f16=False):
         """Per-snip center-ROW (horizontal stripe) planes via the stripe
         variant of the quad kernel — one packed pass emitting [n, W] rows in
         ORIGINAL stream order (reference coolpup.py:1164–1188). Vertical
@@ -614,7 +621,7 @@ class PallasPileupSession:
         idx_up = np.zeros(n_pad, np.int32)
         idx_up[:n] = padded_idx
         gathered = _stripe_unsort_gather(
-            tuple(h for h, _ in outs), jax.device_put(idx_up), n
+            tuple(h for h, _ in outs), jax.device_put(idx_up), n, f16=f16
         )
         return np.asarray(gathered)
 
