@@ -118,52 +118,150 @@ def bench_tpu(csr, coo, r1, r2, gid, flip, valid, evec, W, chunk, repeats=3):
     return snips / (best + stage_time), best + stage_time, compile_time, snips
 
 
-def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=3):
-    """Quad-sorted Pallas kernel path (ops/pallas_gather.py)."""
+def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=5):
+    """Quad-sorted Pallas kernel path (ops/pallas_gather.py).
+
+    Reports MEDIANS of >= ``repeats`` runs of two quantities (VERDICT r3
+    #1 — the tunnel's dispatch latency drifts +-30%, so a one-shot
+    best-of is a coin flip):
+
+    - ``device``: kernel execution only — call args pre-staged on device,
+      completion forced through a device-side reduction fetched as ONE
+      scalar (jax.block_until_ready can return early on dispatched pallas
+      outputs through the tunnel, and fetching the [C, W, W] accumulators
+      would time the tunnel, not the chip).
+    - ``e2e``: the full fresh-region pipeline — host tile-stack scatter +
+      upload + device normalize OVERLAPPED (thread) with the global quad
+      sort + packing, then dispatch with per-call upload pipelining and
+      the single accumulator fetch."""
     import jax
+    import jax.numpy as jnp
+
     from coolpuppy_tpu.ops.pallas_gather import (
         PALLAS_B,
+        PallasGatherConfig,
         PallasPileupSession,
+        make_pallas_pileup_step_flat,
+        pack_call_args,
+        pack_stream,
     )
     from coolpuppy_tpu.ops.tiles import build_tile_stack
 
     n_loci = len(r1)
-    S = chunk
-    n_chunks = n_loci // S
     n_bins = coo.shape[0]
     cfg_kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True)
 
     def stage():
-        ts = build_tile_stack(
+        # upper-triangle build: half the scatter + half the tile upload for
+        # this symmetric cis matrix (ops/tiles.SymTileStack)
+        from coolpuppy_tpu.ops.tiles import build_tile_stack_sym
+
+        ts = build_tile_stack_sym(
             coo, PALLAS_B, r1=r1, r2=r2, window1=W, window2=W
         )
         return PallasPileupSession(ts, valid, valid, evec[:n_bins], cfg_kw)
 
     session = stage()  # warm the normalize-kernel compile
-    # steady-state stage cost (fresh region through cached compiles);
-    # best-of-3: first post-warmup call still pays allocator growth
-    stage_time = np.inf
-    for _ in range(3):
-        t0 = time.time()
-        session = stage()
-        stage_time = min(stage_time, time.time() - t0)
 
-    def run_all():
-        # the engine's path: one global quad sort, greedily packed
-        # fixed-shape kernel calls, single device->host fetch
-        out = session.run_many(r1, r2, gid, fetch=False)
-        return session.finalize([out])
+    # -- device-only: pre-stage every packed call's args ------------------
+    Q_CAP = 128
+    CALL = 131072
+    snips, packs = pack_stream(
+        r1, r2, gid, session.tile_stack.tile_map, PALLAS_B, Q_CAP, CALL
+    )
+    staged = []
+    for ks, qstart, qcount, lo, used in packs:
+        staged.append(
+            jax.device_put(
+                pack_call_args(ks, qstart, qcount, snips, lo, used,
+                               Q_CAP, CALL)
+            )
+        )
+    # session.cfg_kw is cfg_kw minus the normalization keys the session
+    # bakes into the tile stacks (cis/ooe/ignore_diags)
+    cfg = PallasGatherConfig(Q=Q_CAP, **session.cfg_kw)
+    step = make_pallas_pileup_step_flat(cfg, CALL)
+
+    @jax.jit
+    def reduce_probe(out):
+        return jnp.float32(0) + sum(jnp.sum(v) for v in out.values())
+
+    def run_device():
+        total = None
+        for flat in staged:
+            out = step(flat, session.ctiles_dev, session.ntiles_dev)
+            total = (
+                out if total is None else jax.tree.map(jnp.add, total, out)
+            )
+        # one-scalar fetch forces completion without timing the tunnel
+        return float(jax.device_get(reduce_probe(total)))
 
     t0 = time.time()
-    run_all()
+    run_device()
     compile_time = time.time() - t0
-    best = np.inf
+    dev_times = []
     for _ in range(max(repeats, 5)):
         t0 = time.time()
-        run_all()
-        best = min(best, time.time() - t0)
-    snips = len(r1)
-    return snips / (best + stage_time), best + stage_time, compile_time, snips
+        run_device()
+        dev_times.append(time.time() - t0)
+    device_t = float(np.median(dev_times))
+
+    # -- end-to-end: fresh-region pipeline with stage/sort overlap --------
+    from concurrent.futures import ThreadPoolExecutor
+
+    tile_map = session.tile_stack.tile_map  # geometry only (same inputs)
+
+    def run_e2e():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut = pool.submit(stage)  # tile scatter + upload + normalize
+            # the quad sort + packing need only (r1, r2, tile geometry):
+            # they run on the second core while the scatter fills tiles
+            # (the native sort and scatter both release the GIL)
+            fsort = pool.submit(
+                pack_stream, r1, r2, gid, tile_map, PALLAS_B, Q_CAP, CALL
+            )
+            sess = fut.result()
+            sn_sorted, pk = fsort.result()
+        total = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+
+            def prep(c):
+                ks, qstart, qcount, lo, used = pk[c]
+                return jax.device_put(
+                    pack_call_args(ks, qstart, qcount, sn_sorted, lo,
+                                   used, Q_CAP, CALL)
+                )
+
+            fut = pool.submit(prep, 0)
+            for c in range(len(pk)):
+                flat = fut.result()
+                if c + 1 < len(pk):
+                    fut = pool.submit(prep, c + 1)
+                out = step(flat, sess.ctiles_dev, sess.ntiles_dev)
+                total = (
+                    out
+                    if total is None
+                    else jax.tree.map(jnp.add, total, out)
+                )
+        return sess.finalize([total])
+
+    run_e2e()  # allocator warmup
+    e2e_times = []
+    for _ in range(max(repeats, 5)):
+        t0 = time.time()
+        run_e2e()
+        e2e_times.append(time.time() - t0)
+    e2e_t = float(np.median(e2e_times))
+    return {
+        "device_rate": n_loci / device_t,
+        "device_t": device_t,
+        "e2e_rate": n_loci / e2e_t,
+        "e2e_t": e2e_t,
+        "compile_t": compile_time,
+        "snips": n_loci,
+        "dev_times": [round(t, 3) for t in dev_times],
+        "e2e_times": [round(t, 3) for t in e2e_times],
+    }
 
 
 def bench_engine(n_sites=20_000, binsize=10_000, maxdist=2_000_000, seed=0):
@@ -797,13 +895,44 @@ def main():
         n_loci=args.loci, W=W
     )
     if args.backend == "pallas":
-        tpu_rate, best, compile_time, snips = bench_pallas(
-            coo, r1, r2, gid, valid, evec, W, args.chunk
+        res = bench_pallas(coo, r1, r2, gid, valid, evec, W, args.chunk)
+        ref_rate = bench_reference_loop(
+            csr, r1, r2, valid, evec, W, n=args.ref_snips
         )
-    else:
-        tpu_rate, best, compile_time, snips = bench_tpu(
-            csr, coo, r1, r2, gid, flip, valid, evec, W, args.chunk
+        import jax
+
+        # headline: the end-to-end median (honest pipeline number);
+        # device_* carries the tunnel-immune kernel-only median
+        print(
+            json.dumps(
+                {
+                    "metric": "snippets_per_sec",
+                    "value": round(res["e2e_rate"]),
+                    "unit": "snips/s",
+                    "vs_baseline": round(res["e2e_rate"] / ref_rate, 2),
+                    "detail": {
+                        "backend": args.backend,
+                        "device": str(jax.devices()[0]),
+                        "loci": res["snips"],
+                        "window": W,
+                        "e2e_median_s": round(res["e2e_t"], 3),
+                        "e2e_runs_s": res["e2e_times"],
+                        "device_only_snips_per_sec": round(
+                            res["device_rate"]
+                        ),
+                        "device_median_s": round(res["device_t"], 3),
+                        "device_runs_s": res["dev_times"],
+                        "compile_s": round(res["compile_t"], 2),
+                        "ref_scipy_snips_per_sec": round(ref_rate),
+                        "pixels_per_sec": round(res["e2e_rate"] * W * W),
+                    },
+                }
+            )
         )
+        return
+    tpu_rate, best, compile_time, snips = bench_tpu(
+        csr, coo, r1, r2, gid, flip, valid, evec, W, args.chunk
+    )
     ref_rate = bench_reference_loop(
         csr, r1, r2, valid, evec, W, n=args.ref_snips
     )

@@ -272,6 +272,40 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
     return step
 
 
+def pack_call_args(ks, qstart, qcount, snips, lo, used, Q, chunk):
+    """Concatenate one packed call's 7 scalar arrays into ONE int32 buffer
+    of length 6*Q + chunk — a single device_put per call instead of seven.
+    Through a ~20 ms-latency tunnel the per-transfer LATENCY (not bytes)
+    dominated dispatch: 7 transfers x calls serialized ~1 s per 1M-snip
+    stream (VERDICT r3 #1)."""
+    flat = np.zeros(6 * Q + chunk, np.int32)
+    for i, a in enumerate((*ks, qstart, qcount)):
+        flat[i * Q : (i + 1) * Q] = a
+    flat[6 * Q : 6 * Q + used] = snips[lo : lo + used]
+    return flat
+
+
+@lru_cache(maxsize=32)
+def make_pallas_pileup_step_flat(cfg: PallasGatherConfig, chunk: int):
+    """make_pallas_pileup_step over the fused flat scalar buffer
+    (see pack_call_args); the XLA-side slices are free."""
+    call = _make_pallas_call(cfg)
+    Q = cfg.Q
+
+    @jax.jit
+    def step(flat, ctiles, ntiles):
+        parts = [flat[i * Q : (i + 1) * Q] for i in range(6)]
+        snip = flat[6 * Q : 6 * Q + chunk]
+        out = call(*parts, snip, ctiles, ntiles)
+        if cfg.stripes:
+            s, n, hs = out
+            return {"sum": s, "num": n, "hstripe": hs[: cfg.S, : cfg.W]}
+        s, n = out
+        return {"sum": s, "num": n}
+
+    return step
+
+
 def _stripe_unsort_gather(parts, idx, n, f16=False):
     """Concat per-call stripe planes and gather rows back to stream order
     on device; exact [n, W] result (one host fetch for the whole stream).
@@ -441,12 +475,45 @@ class PallasPileupSession:
         import jax
 
         from ..jax_setup import ensure_jax_cache
-        from .tiles import TileStack
+        from .tiles import (
+            SymTileStack,
+            TileStack,
+            expand_sym_device,
+            normalize_tiles_device,
+        )
 
         ensure_jax_cache()
 
         B = tile_stack.B
         assert B == PALLAS_B
+        if isinstance(tile_stack, SymTileStack):
+            # upper-triangle upload: only ~half the tiles cross the link;
+            # the full raw stack materializes on device (transpose/sym) and
+            # normalizes there (VERDICT r3 #1 — tile upload dominated
+            # fresh-region staging)
+            self.tile_stack = tile_stack
+            cfg_kw = dict(cfg_kw)
+            ooe = cfg_kw.pop("ooe", False)
+            cis = cfg_kw.pop("cis", True)
+            ignore_diags = cfg_kw.pop("ignore_diags", 2)
+            frame_shift = cfg_kw.pop("frame_shift", 0)
+            self.cfg_kw = cfg_kw
+            K1 = tile_stack.n_tiles + 1
+            K_pad = max(64, 1 << int(np.ceil(np.log2(max(1, K1)))))
+            tiles_dev = expand_sym_device(tile_stack, k_pad=K_pad)
+            self.ctiles_dev, self.ntiles_dev = normalize_tiles_device(
+                tiles_dev,
+                tile_stack.tile_map,
+                B,
+                valid1,
+                valid2,
+                evec=evec,
+                ooe=ooe,
+                cis=cis,
+                ignore_diags=ignore_diags,
+                frame_shift=frame_shift,
+            )
+            return
         # pad the stack depth to pow2: K rides the kernel's input signature,
         # so a raw K would force one Mosaic recompile per region (padding
         # slots are never referenced by tile_map)
@@ -532,18 +599,16 @@ class PallasPileupSession:
         )
 
         def prep(c):
-            # pad + async upload of one call's arrays (device_put returns
-            # immediately, so uploads overlap device execution)
+            # ONE fused async upload per call (pack_call_args): the tunnel's
+            # per-transfer latency, not bytes, dominated multi-array preps
             ks, qstart, qcount, lo, used = packs[c]
-            sn = np.zeros(chunk, np.int32)
-            sn[:used] = snips[lo : lo + used]
-            return tuple(
-                jax.device_put(x)
-                for x in (*ks, qstart, qcount, sn)
+            return jax.device_put(
+                pack_call_args(ks, qstart, qcount, snips, lo, used,
+                               Q_CAP, chunk)
             )
 
         cfg = PallasGatherConfig(Q=Q_CAP, **self.cfg_kw)
-        step = make_pallas_pileup_step(cfg)
+        step = make_pallas_pileup_step_flat(cfg, chunk)
 
         # a single worker preps call c+1 while the device runs call c
         from concurrent.futures import ThreadPoolExecutor
@@ -552,10 +617,10 @@ class PallasPileupSession:
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(prep, 0)
             for c in range(len(packs)):
-                args = fut.result()
+                flat = fut.result()
                 if c + 1 < len(packs):
                     fut = pool.submit(prep, c + 1)
-                out = step(*args, self.ctiles_dev, self.ntiles_dev)
+                out = step(flat, self.ctiles_dev, self.ntiles_dev)
                 total = (
                     out
                     if total is None
@@ -595,15 +660,14 @@ class PallasPileupSession:
         cfg = PallasGatherConfig(
             Q=Q_CAP, stripes=True, S=chunk, stripe_cap=CAP, **self.cfg_kw
         )
-        step = make_pallas_pileup_step(cfg)
+        step = make_pallas_pileup_step_flat(cfg, chunk)
         outs = []
         for ks, qstart, qcount, lo, used in packs:
-            sn = np.zeros(chunk, np.int32)
-            sn[:used] = snips[lo : lo + used]
-            out = step(
-                *(jax.device_put(x) for x in (*ks, qstart, qcount, sn)),
-                ct, nt,
+            flat = jax.device_put(
+                pack_call_args(ks, qstart, qcount, snips, lo, used,
+                               Q_CAP, chunk)
             )
+            out = step(flat, ct, nt)
             outs.append((out["hstripe"], used))
         # unsort to stream order ON DEVICE (a [n, W] row gather is ~ms
         # there; the host scatter it replaces cost seconds at 1M rows),

@@ -40,6 +40,114 @@ class TileStack:
         return self.tiles.shape[0] - 1
 
 
+@dataclass
+class SymTileStack:
+    """Upper-triangle tile storage for SYMMETRIC (cis) regions: only tiles
+    with tile_row <= tile_col are scattered and uploaded; the device
+    materializes the full stack as ``full[k] = upper[src[k]]`` (transposed
+    where ``flip[k]``, symmetrized where ``diag[k]`` and the scatter held
+    only the stored upper half). Halves both the host scatter work and the
+    host->device tile payload — the two dominant costs of fresh-region
+    staging through a slow link (VERDICT r3 #1/#3)."""
+
+    upper: np.ndarray  # [Ku+1, B, B] float32; slot 0 all zeros
+    tile_map: np.ndarray  # [nr+1, nc+1] -> FULL stack index (0 = empty)
+    src: np.ndarray  # [K+1] full slot -> upper slot
+    flip: np.ndarray  # [K+1] bool: transpose upper[src]
+    diag: np.ndarray  # [K+1] bool: tile_row == tile_col
+    diag_full: bool  # diagonal tiles already hold both halves
+    B: int
+    shape: tuple
+
+    @property
+    def n_tiles(self):
+        return len(self.src) - 1
+
+    def expand_host(self):
+        """Materialize the full [K+1, B, B] stack on the host (tests /
+        host-side consumers)."""
+        g = self.upper[self.src]
+        gt = np.transpose(g, (0, 2, 1))
+        full = np.where(self.flip[:, None, None], gt, g)
+        if not self.diag_full:
+            eye = np.eye(self.B, dtype=g.dtype)
+            sym = g + gt - g * eye
+            full = np.where(self.diag[:, None, None], sym, full)
+        return full.astype(np.float32)
+
+    def to_tile_stack(self):
+        return TileStack(
+            tiles=self.expand_host(), tile_map=self.tile_map, B=self.B,
+            shape=self.shape,
+        )
+
+
+@lru_cache(maxsize=8)
+def _make_expand_sym_fn(B, diag_full):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(up, src, flip, diag):
+        g = up[src]
+        gt = jnp.transpose(g, (0, 2, 1))
+        full = jnp.where(flip[:, None, None], gt, g)
+        if not diag_full:
+            eye = jnp.eye(B, dtype=g.dtype)
+            sym = g + gt - g * eye
+            full = jnp.where(diag[:, None, None], sym, full)
+        return full
+
+    return f
+
+
+def expand_sym_device(sym: SymTileStack, k_pad=None):
+    """Upload the upper tiles and materialize the FULL raw stack on device
+    (one [K_pad, B, B] device array; K_pad pow2 so downstream kernel
+    signatures stay pinned)."""
+    import jax
+
+    from .gather import pad_pow2
+
+    K1 = len(sym.src)
+    if k_pad is None:
+        k_pad = max(64, 1 << int(np.ceil(np.log2(max(1, K1)))))
+    up_dev = jax.device_put(pad_pow2(sym.upper, axis=0))
+    src = np.zeros(k_pad, np.int32)
+    src[:K1] = sym.src
+    flip = np.zeros(k_pad, bool)
+    flip[:K1] = sym.flip
+    diag = np.zeros(k_pad, bool)
+    diag[:K1] = sym.diag
+    f = _make_expand_sym_fn(sym.B, bool(sym.diag_full))
+    return f(up_dev, src, flip, diag)
+
+
+def _sym_maps(want, nr, nc):
+    """Build the full tile_map plus (src, flip, diag) expansion metadata and
+    the upper scatter map for an upper-triangle build."""
+    tr, tc = want // nc, want % nc
+    K = len(want)
+    tile_map = np.zeros((nr + 1, nc + 1), dtype=np.int32)
+    tile_map[tr, tc] = np.arange(1, K + 1, dtype=np.int32)
+
+    lo = np.minimum(tr, tc)
+    hi = np.maximum(tr, tc)
+    ukey = lo.astype(np.int64) * nc + hi
+    uniq, inv = np.unique(ukey, return_inverse=True)
+    Ku = len(uniq)
+    utile_map = np.zeros((nr + 1, nc + 1), dtype=np.int32)
+    utile_map[uniq // nc, uniq % nc] = np.arange(1, Ku + 1, dtype=np.int32)
+
+    src = np.zeros(K + 1, np.int32)
+    src[1:] = inv + 1
+    flip = np.zeros(K + 1, bool)
+    flip[1:] = tr > tc
+    diag = np.zeros(K + 1, bool)
+    diag[1:] = tr == tc
+    return tile_map, utile_map, src, flip, diag, Ku
+
+
 def touched_tiles(r1, r2, window1, window2, B, shape):
     """Set of (tile_row, tile_col) touched by windows starting at (r1, r2)
     with heights window1 and widths window2 (arrays or scalars)."""
@@ -113,6 +221,115 @@ def build_tile_stack(coo, B, r1=None, r2=None, window1=None, window2=None):
         flat = np.bincount(flat_idx, weights=vals, minlength=(K + 1) * B * B)
         tiles = flat.reshape(K + 1, B, B).astype(np.float32)
     return TileStack(tiles=tiles, tile_map=tile_map, B=B, shape=(n1, n2))
+
+
+def build_tile_stack_sym(
+    coo, B, r1=None, r2=None, window1=None, window2=None
+):
+    """Upper-triangle build from a FULL symmetric COO (both triangles
+    stored, e.g. a mirrored fetch): entries landing on lower tiles fall off
+    the upper scatter map, so diagonal tiles keep both halves
+    (``diag_full=True``) and off-diagonal lower tiles come from the device
+    transpose. Scatters/uploads ~half the tiles of build_tile_stack."""
+    n1, n2 = coo.shape
+    assert n1 == n2, "sym build requires a square (cis) region"
+    nr, nc = -(-n1 // B), -(-n2 // B)
+    rows = np.asarray(coo.row)
+    cols = np.asarray(coo.col)
+    vals = np.asarray(coo.data)
+
+    if r1 is not None:
+        want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
+    else:
+        want = np.unique(
+            (rows.astype(np.int64) // B) * nc + cols.astype(np.int64) // B
+        )
+    tile_map, utile_map, src, flip, diag, Ku = _sym_maps(want, nr, nc)
+
+    if Ku == 0 or len(rows) == 0:
+        upper = np.zeros((Ku + 1, B, B), dtype=np.float32)
+        return SymTileStack(
+            upper=upper, tile_map=tile_map, src=src, flip=flip, diag=diag,
+            diag_full=True, B=B, shape=(n1, n2),
+        )
+    if _native_tile_scatter is not None:
+        upper = _native_tile_scatter(rows, cols, vals, utile_map, B, Ku, nc)
+    else:
+        pix_tile = utile_map[rows // B, cols // B].astype(np.int64)
+        keep = pix_tile > 0
+        flat_idx = (
+            pix_tile[keep] * (B * B)
+            + (rows[keep] % B) * B
+            + (cols[keep] % B)
+        )
+        flat = np.bincount(
+            flat_idx, weights=vals[keep], minlength=(Ku + 1) * B * B
+        )
+        upper = flat.reshape(Ku + 1, B, B).astype(np.float32)
+    return SymTileStack(
+        upper=upper, tile_map=tile_map, src=src, flip=flip, diag=diag,
+        diag_full=True, B=B, shape=(n1, n2),
+    )
+
+
+def build_tile_stack_slab_sym(
+    slab, B, r1=None, r2=None, window1=None, window2=None, band=None
+):
+    """Upper-triangle build from a stored-triangle PixelSlab (cis): scatter
+    runs with mirror=False onto the upper tile map (half the writes of the
+    mirrored scatter), so diagonal tiles hold only the stored upper half
+    (``diag_full=False`` — the device expansion symmetrizes them)."""
+    n1, n2 = slab.shape
+    assert n1 == n2 and slab.mirror, (
+        "sym slab build requires a square cis region with a stored triangle"
+    )
+    nr, nc = -(-n1 // B), -(-n2 // B)
+    if band is not None:
+        want, nr, nc = band_tiles(band, B, (n1, n2))
+    elif r1 is not None:
+        want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
+    else:
+        lr = slab.rows - slab.lo1
+        lc = slab.cols - slab.lo2
+        t = np.unique((lr // B) * nc + lc // B)
+        t = np.union1d(t, (lc // B) * nc + lr // B)
+        want = t
+    tile_map, utile_map, src, flip, diag, Ku = _sym_maps(want, nr, nc)
+
+    if Ku == 0 or slab.nnz == 0:
+        upper = np.zeros((Ku + 1, B, B), dtype=np.float32)
+        return SymTileStack(
+            upper=upper, tile_map=tile_map, src=src, flip=flip, diag=diag,
+            diag_full=False, B=B, shape=(n1, n2),
+        )
+    if _native_tile_scatter_wtri is not None:
+        upper = _native_tile_scatter_wtri(
+            slab.rows, slab.cols, slab.vals, slab.lo1, slab.lo2, n1, n2,
+            slab.weights, utile_map, B, Ku, False,
+        )
+    else:
+        rows = slab.rows - slab.lo1
+        cols = slab.cols - slab.lo2
+        vals = slab.vals.astype(np.float64)
+        if slab.weights is not None:
+            vals = vals * slab.weights[slab.rows] * slab.weights[slab.cols]
+        inb = (rows >= 0) & (rows < n1) & (cols >= 0) & (cols < n2)
+        rows, cols, vals = rows[inb], cols[inb], vals[inb]
+        pix_tile = utile_map[rows // B, cols // B].astype(np.int64)
+        keep = pix_tile > 0
+        flat_idx = (
+            pix_tile[keep] * (B * B)
+            + (rows[keep] % B) * B
+            + (cols[keep] % B)
+        )
+        flat = np.bincount(
+            flat_idx, weights=vals[keep], minlength=(Ku + 1) * B * B
+        )
+        upper = flat.reshape(Ku + 1, B, B).astype(np.float32)
+    return SymTileStack(
+        upper=upper, tile_map=tile_map, src=src, flip=flip, diag=diag,
+        diag_full=False, B=B, shape=(n1, n2),
+    )
 
 
 def band_tiles(max_diag_bins, B, shape):
@@ -375,6 +592,73 @@ def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
         return ctiles, ntiles
 
     return f
+
+
+def normalize_tiles_device(
+    tiles_dev,
+    tile_map,
+    B,
+    valid1,
+    valid2,
+    evec=None,
+    ooe=False,
+    cis=True,
+    ignore_diags=2,
+    frame_shift=0,
+    slab=1024,
+):
+    """normalize_tile_stack_device over an ALREADY-device-resident raw
+    stack (e.g. the sym-expanded upper-triangle upload): same per-pixel
+    semantics, no further host->device tile transfer. ``tiles_dev`` is
+    [K_pad, B, B]; padding slots normalize to garbage but are never
+    referenced by ``tile_map``. Slot 0 is re-zeroed."""
+    import jax
+    import jax.numpy as jnp
+
+    K_pad = int(tiles_dev.shape[0])
+    K1 = int(tile_map.max()) + 1
+    tr = np.zeros(K_pad, np.int32)
+    tc = np.zeros(K_pad, np.int32)
+    gr, gc = np.nonzero(tile_map)
+    tr[tile_map[gr, gc]] = gr
+    tc[tile_map[gr, gc]] = gc
+
+    nrp, ncp = tile_map.shape
+    v1 = np.zeros(nrp * B + B, np.float32)
+    m1 = min(len(valid1), len(v1))
+    v1[:m1] = np.asarray(valid1, np.float32)[:m1]
+    v2 = np.zeros(ncp * B + B, np.float32)
+    m2 = min(len(valid2), len(v2))
+    v2[:m2] = np.asarray(valid2, np.float32)[:m2]
+    L = (max(nrp, ncp) + 2) * B + abs(int(frame_shift)) + 1
+    epad = np.full(L, np.nan, np.float32)
+    if ooe and evec is not None:
+        ev = np.atleast_1d(np.asarray(evec, np.float32))
+        if ev.size == 1:
+            epad[:] = ev[0]
+        else:
+            epad[: min(ev.size, L)] = ev[:L]
+
+    f = _make_normalize_slab_fn(
+        B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
+    )
+    v1d, v2d, ed = jax.device_put((v1, v2, epad))
+    slab = min(slab, K_pad)
+    kpad = -(-K_pad // slab) * slab
+    # K_pad is pow2 and slab 1024: kpad == K_pad except tiny stacks
+    cparts, nparts = [], []
+    for lo in range(0, K_pad, slab):
+        hi = min(lo + slab, K_pad)
+        c, n = f(tiles_dev[lo:hi], tr[lo:hi], tc[lo:hi], v1d, v2d, ed)
+        cparts.append(c)
+        nparts.append(n)
+    ctiles = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
+    ntiles = jnp.concatenate(nparts) if len(nparts) > 1 else nparts[0]
+    zero = jnp.zeros((1, B, B), jnp.float32)
+    ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
+    ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
+    _ = K1
+    return ctiles, ntiles
 
 
 def normalize_tile_stack_device(
