@@ -529,23 +529,84 @@ class PileUpper:
 
         return jax.devices()[0].platform != "cpu"
 
-    def _open_pallas_stream(self, dev, W):
-        """Create a band-predicate pallas session for single-pass streaming
-        (cis only): every tile within |row-col| <= band is staged on device
-        BEFORE any coordinates exist. Returns None when the band would be too
-        big (unbounded maxdist on a large region) — the collected two-phase
-        path handles those."""
+    def _stream_tile_want(self, region1, region2, dev):
+        """Tile predicate for the NON-cis-bed streams (bedpe rows, trans
+        feature products): the windows are computable from the binned
+        intervals — expanded by the control-shift margin — before any
+        coordinate frame exists (VERDICT r3 #8). Returns a raveled tile-id
+        array, or None when no predicate applies."""
+        from ..ops.pallas_gather import PALLAS_B
+        from ..ops.tiles import rect_tiles
+
+        res = self.resolution
+        margin = (
+            int(self.maxshift) // res + 2
+            if (self.control or self.nshifts > 0)
+            else 0
+        )
+        n1, n2 = int(dev["n1"]), int(dev["n2"])
+        r1c = tuple(self.view_df.loc[region1])
+        r2c = tuple(self.view_df.loc[region2]) if region2 != region1 else r1c
+        if self.CC.kind == "bedpe":
+            if self.trans and region2 != region1:
+                rows = self.CC.filter_bedpe_trans_pairs(r1c, r2c)
+            elif region2 == region1:
+                rows = self.CC.filter_bedpe_region(r1c)
+            else:
+                return None
+            want, _, _ = rect_tiles(
+                rows["stBin1"].values - dev["min1"] - margin,
+                rows["endBin1"].values - dev["min1"] + margin,
+                rows["stBin2"].values - dev["min2"] - margin,
+                rows["endBin2"].values - dev["min2"] + margin,
+                PALLAS_B,
+                (n1, n2),
+            )
+            return want
+        if self.trans and region2 != region1:
+            f1 = self.CC.filter_bed_region(r1c)
+            f2 = self.CC.filter_bed_region(r2c)
+            if len(f1) == 0 or len(f2) == 0:
+                return np.array([], np.int64)
+            B = PALLAS_B
+            nc = -(-n2 // B)
+
+            def axis_tiles(f, mn, n):
+                lo = np.clip(f["stBin"].values - mn - margin, 0, n - 1)
+                hi = np.clip(f["endBin"].values - mn + margin, 1, n)
+                t = [
+                    np.arange(a // B, (b - 1) // B + 1)
+                    for a, b in zip(lo, hi)
+                ]
+                return np.unique(np.concatenate(t))
+
+            rt = axis_tiles(f1, dev["min1"], n1)
+            ct = axis_tiles(f2, dev["min2"], n2)
+            return (rt[:, None] * nc + ct[None, :]).ravel()
+        return None
+
+    def _open_pallas_stream(self, dev, W, want=None):
+        """Create a tile-predicate pallas session for single-pass streaming:
+        every tile a window can touch is staged on device BEFORE any
+        coordinates exist — the |row-col| band for cis bed (``want=None``),
+        or an explicit tile set (bedpe/trans, see _stream_tile_want).
+        Returns None when the predicate would be too big (unbounded maxdist
+        on a large region) — the collected two-phase path handles those."""
         from ..ops.pallas_gather import PALLAS_B, PallasPileupSession
 
         n1 = int(dev["n1"])
-        if np.isfinite(self.maxdist):
-            band_bins = min(
-                int(self.maxdist // self.resolution) + W + 8, n1
-            )
+        if want is not None:
+            est_tiles = len(want)
+            band_bins = None
         else:
-            band_bins = n1
-        n_tile_rows = -(-n1 // PALLAS_B)
-        est_tiles = n_tile_rows * (2 * (band_bins // PALLAS_B + 1) + 1)
+            if np.isfinite(self.maxdist):
+                band_bins = min(
+                    int(self.maxdist // self.resolution) + W + 8, n1
+                )
+            else:
+                band_bins = n1
+            n_tile_rows = -(-n1 // PALLAS_B)
+            est_tiles = n_tile_rows * (2 * (band_bins // PALLAS_B + 1) + 1)
         if est_tiles > 6144:  # ~800MB of normalized stacks: fall back
             return None
         interpret = self.backend == "pallas-interpret"
@@ -555,10 +616,44 @@ class PileUpper:
         if interpret:
             half = min(half, getattr(self, "_pallas_block_groups", 512))
 
+        # coverage checker: a window whose quad falls outside the predicate
+        # would silently read the shared zero tile — feeds verify coverage
+        # and abort to the collected path instead (a user modify func can
+        # move coordinates arbitrarily)
+        B = PALLAS_B
+        if want is not None:
+            n2 = int(dev["n2"])
+            nr, nc = -(-n1 // B), -(-n2 // B)
+            flags = np.zeros(nr * nc, bool)
+            flags[np.asarray(want, np.int64)] = True
+
+            def covers(r1, r2):
+                t1, t2 = r1 // B, r2 // B
+                e1 = (r1 + W - 1) // B
+                e2 = (r2 + W - 1) // B
+                return bool(
+                    (
+                        flags[t1 * nc + t2]
+                        & flags[t1 * nc + e2]
+                        & flags[e1 * nc + t2]
+                        & flags[e1 * nc + e2]
+                    ).all()
+                )
+
+        else:
+            kband = band_bins // B + 1
+
+            def covers(r1, r2):
+                return bool(
+                    (np.abs(r1 // B - r2 // B) + 1 <= kband).all()
+                )
+
         def build():
-            tile_stack = self._build_pallas_stack(
-                dev, PALLAS_B, band=band_bins
+            kw = (
+                dict(want=want) if want is not None
+                else dict(band=band_bins)
             )
+            tile_stack = self._build_pallas_stack(dev, PALLAS_B, **kw)
             session = PallasPileupSession(
                 tile_stack,
                 dev["valid1"],
@@ -588,7 +683,9 @@ class PileUpper:
         # same call length as run_segment's packed dispatch so both paths
         # share one compiled kernel shape per window size
         chunk = 256 if interpret else 131072
-        return _PallasStream(self._session_pool.submit(build), half, chunk)
+        stream = _PallasStream(self._session_pool.submit(build), half, chunk)
+        stream.covers = covers
+        return stream
 
     def _use_pallas(self, dev, W):
         """Route the hot path through the Pallas quad kernel whenever the
@@ -715,14 +812,28 @@ class PileUpper:
         timers = self._timers
 
         use_pallas = (not self.rescale) and self._use_pallas(dev, W)
-        # single-pass streaming (cis + pallas, single device): the band tile
-        # stack needs no window coordinates, so dispatches overlap the host
-        # collection below
+        # single-pass streaming (pallas, single device): a tile predicate
+        # that needs no window coordinates (cis |row-col| band; bedpe/trans
+        # interval rectangles) lets dispatches overlap the host collection
         stream = None
-        if use_pallas and self.mesh is None and region2 == region1:
+        if use_pallas and self.mesh is None:
             tctx = timers.phase("tiles") if timers else contextlib.nullcontext()
-            with tctx:
-                stream = self._open_pallas_stream(dev, W)
+            if (
+                region2 == region1
+                and self.CC.kind == "bed"
+                and not self.trans
+            ):
+                with tctx:
+                    stream = self._open_pallas_stream(dev, W)
+            else:
+                want = self._stream_tile_want(region1, region2, dev)
+                if want is not None:
+                    with tctx:
+                        stream = self._open_pallas_stream(dev, W, want=want)
+            if stream is not None:
+                self._stream_regions = (
+                    getattr(self, "_stream_regions", 0) + 1
+                )
 
         # -- phase 1: host coordinate collection -----------------------
         cols = {k: [] for k in ("r1", "r2", "dd0", "cidl", "flip", "h1", "w2")}
@@ -821,7 +932,15 @@ class PileUpper:
             cols["h1"].append(h1)
             cols["w2"].append(w2)
             if stream is not None and not stream.aborted:
-                if len(cid_of) > stream.half:
+                if not stream.covers(cols["r1"][-1], cols["r2"][-1]):
+                    # a window escaped the tile predicate (user modify func
+                    # moved coordinates): the streamed session would read
+                    # the shared zero tile — use the collected path
+                    stream.aborted = True
+                    self._stream_aborts = (
+                        getattr(self, "_stream_aborts", 0) + 1
+                    )
+                elif len(cid_of) > stream.half:
                     # more groups than the streaming capacity (by-window):
                     # discard streamed work, the blocked path runs after
                     stream.aborted = True

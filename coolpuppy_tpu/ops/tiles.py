@@ -273,7 +273,8 @@ def build_tile_stack_sym(
 
 
 def build_tile_stack_slab_sym(
-    slab, B, r1=None, r2=None, window1=None, window2=None, band=None
+    slab, B, r1=None, r2=None, window1=None, window2=None, band=None,
+    want=None,
 ):
     """Upper-triangle build from a stored-triangle PixelSlab (cis): scatter
     runs with mirror=False onto the upper tile map (half the writes of the
@@ -284,7 +285,9 @@ def build_tile_stack_slab_sym(
         "sym slab build requires a square cis region with a stored triangle"
     )
     nr, nc = -(-n1 // B), -(-n2 // B)
-    if band is not None:
+    if want is not None:
+        want = np.asarray(want, np.int64)
+    elif band is not None:
         want, nr, nc = band_tiles(band, B, (n1, n2))
     elif r1 is not None:
         want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
@@ -332,6 +335,33 @@ def build_tile_stack_slab_sym(
     )
 
 
+def rect_tiles(lo1, hi1, lo2, hi2, B, shape):
+    """All (tile_row, tile_col) ids covered by the given bin-range
+    rectangles [lo1, hi1) x [lo2, hi2) — the tile predicate for streams
+    whose windows are known as INTERVALS before any coordinate frames
+    exist (bedpe rows, trans feature products with shift margins).
+    Ranges are clipped to the region; returns sorted unique raveled ids."""
+    n1, n2 = shape
+    nr, nc = -(-n1 // B), -(-n2 // B)
+    lo1 = np.clip(np.asarray(lo1, np.int64), 0, n1 - 1)
+    hi1 = np.clip(np.asarray(hi1, np.int64), 1, n1)
+    lo2 = np.clip(np.asarray(lo2, np.int64), 0, n2 - 1)
+    hi2 = np.clip(np.asarray(hi2, np.int64), 1, n2)
+    t1a, t1b = lo1 // B, (hi1 - 1) // B
+    t2a, t2b = lo2 // B, (hi2 - 1) // B
+    sp1 = int((t1b - t1a).max(initial=0)) + 1
+    sp2 = int((t2b - t2a).max(initial=0)) + 1
+    flags = np.zeros(nr * nc, dtype=bool)
+    for di in range(sp1):
+        rr = t1a + di
+        okr = rr <= t1b
+        for dj in range(sp2):
+            cc = t2a + dj
+            ok = okr & (cc <= t2b)
+            flags[rr[ok] * nc + cc[ok]] = True
+    return np.flatnonzero(flags), nr, nc
+
+
 def band_tiles(max_diag_bins, B, shape):
     """All (tile_row, tile_col) ids within ``max_diag_bins`` of the diagonal —
     the tile predicate that needs NO window coordinates, enabling the
@@ -349,7 +379,8 @@ def band_tiles(max_diag_bins, B, shape):
 
 
 def build_tile_stack_slab(
-    slab, B, r1=None, r2=None, window1=None, window2=None, band=None
+    slab, B, r1=None, r2=None, window1=None, window2=None, band=None,
+    want=None,
 ):
     """Scatter a stored-triangle PixelSlab (io/cool.py::fetch_slab) into a
     TileStack in ONE fused pass: balancing weights and the symmetric mirror
@@ -363,7 +394,9 @@ def build_tile_stack_slab(
     n1, n2 = slab.shape
     nr, nc = -(-n1 // B), -(-n2 // B)
 
-    if band is not None:
+    if want is not None:
+        want = np.asarray(want, np.int64)
+    elif band is not None:
         want, nr, nc = band_tiles(band, B, (n1, n2))
     elif r1 is not None:
         want, nr, nc = touched_tiles(r1, r2, window1, window2, B, (n1, n2))
