@@ -81,6 +81,25 @@ def _stack_fetch(outs):
     return {k: jax.device_get(v) for k, v in stacked.items()}
 
 
+def _stack_merge_fetch(outs, half):
+    """Stack per-block accumulator dicts, collapse the flip bank ON DEVICE
+    (anti-transpose of slots [half:2*half] added to [0:half] — the device
+    twin of ops/gather.merge_flip_banks), and fetch once: by-window runs
+    carry G x [W, W] x 2 banks x 2 keys of accumulators, and fetching the
+    un-merged banks doubled the dominant device->host payload."""
+    import jax
+    import jax.numpy as jnp
+
+    merged = {}
+    for k in outs[0]:
+        v = jnp.stack([o[k] for o in outs])  # [nblk, cap+8, W, W]
+        lo = v[:, :half]
+        hi = v[:, half : 2 * half]
+        hi = jnp.swapaxes(jnp.flip(hi, axis=(-2, -1)), -2, -1)
+        merged[k] = lo + hi
+    return {k: jax.device_get(v) for k, v in merged.items()}
+
+
 def _accumulate_values_frame_keys(extra_sum_funcs):
     """If every extra_sum_func is the canonical ``accumulate_values``
     pattern (a functools.partial of lib.puputils.accumulate_values with a
@@ -137,7 +156,8 @@ class _PallasStream:
     releases the GIL) and device staging run on a worker thread concurrently
     with the first coordinate frames; feeds buffer until it resolves."""
 
-    def __init__(self, session_future, half, chunk):
+    def __init__(self, session_future, half, chunk, stripes=False,
+                 stripe_f16=True):
         self._fut = session_future
         self.session = None
         self.tile_stack = None
@@ -148,6 +168,19 @@ class _PallasStream:
         self._buffered = 0
         self._total_dev = None
         self.aborted = False
+        # stripes stream too: per-chunk stripe kernel passes with ASYNC
+        # device->host copies, so the dominant stripes-mode payload (the
+        # per-snip planes) transfers WHILE collection/kernels continue
+        # instead of in one blocking fetch at the end (VERDICT r3 #2)
+        self.stripes = stripes
+        self.stripe_f16 = stripe_f16
+        self._stripe_h = []
+        self._stripe_v = []
+        # stripe planes only exist for ROI snips (control planes never
+        # reach the output, reference coolpup.py:1533–1625) — they buffer
+        # and dispatch independently of the sum/num stream
+        self._sbufs = {"r1": [], "r2": []}
+        self._sbuffered = 0
 
     def resolve(self, block=True):
         """Adopt the built session; True when ready. ``block=False`` keeps
@@ -159,18 +192,24 @@ class _PallasStream:
         self.session, self.tile_stack = self._fut.result()
         return True
 
-    def feed(self, r1, r2, dd0, cid):
+    def feed(self, r1, r2, dd0, cid, sr1=None, sr2=None):
         for key, arr in (("r1", r1), ("r2", r2), ("dd0", dd0), ("cid", cid)):
             self._bufs[key].append(arr)
         self._buffered += len(r1)
+        if self.stripes and sr1 is not None:
+            self._sbufs["r1"].append(sr1)
+            self._sbufs["r2"].append(sr2)
+            self._sbuffered += len(sr1)
         if not self.resolve(block=False):
             return
         while self._buffered >= self.chunk:
             self._dispatch(self.chunk)
+        while self._sbuffered >= self.chunk:
+            self._dispatch_stripes(self.chunk)
 
-    def _take(self, n):
+    def _take(self, n, bufs=None):
         out = {}
-        for key, parts_list in self._bufs.items():
+        for key, parts_list in (bufs or self._bufs).items():
             parts, got = [], 0
             while got < n:
                 head = parts_list[0]
@@ -183,7 +222,10 @@ class _PallasStream:
                     parts_list[0] = head[need:]
                     got = n
             out[key] = np.concatenate(parts) if len(parts) > 1 else parts[0]
-        self._buffered -= n
+        if bufs is None:
+            self._buffered -= n
+        else:
+            self._sbuffered -= n
         return out
 
     def _dispatch(self, n):
@@ -206,15 +248,47 @@ class _PallasStream:
             else jax.tree.map(jnp.add, self._total_dev, out)
         )
 
+    def _dispatch_stripes(self, n):
+        take = self._take(n, bufs=self._sbufs)
+        f16 = self.stripe_f16
+        self._stripe_h.append(
+            self.session.run_stripes(
+                take["r1"], take["r2"], chunk=self.chunk, f16=f16,
+                async_fetch=True,
+            )
+        )
+        self._stripe_v.append(
+            self.session.run_stripes(
+                take["r1"], take["r2"], chunk=self.chunk, f16=f16,
+                async_fetch=True, vertical=True,
+            )
+        )
+
     def finish(self):
         """Dispatch the tail and block; returns [capacity, ...] totals."""
         self.resolve(block=True)
         if self._buffered:
             self._dispatch(self._buffered)
+        if self._sbuffered:
+            self._dispatch_stripes(self._sbuffered)
         if self._total_dev is None:
             return None
         total = self.session.finalize([self._total_dev])
         return {k: v[: self.capacity] for k, v in total.items()}
+
+    def stripe_planes(self):
+        """Materialize the streamed per-ROI-snip stripe planes in stream
+        order (the async copies typically finished during collection).
+        Returns (horizontal [n_roi, W], vertical-unreversed) float32."""
+        if not self._stripe_h:
+            W = 1 if self.session is None else int(
+                self.session.cfg_kw["W"]
+            )
+            z = np.zeros((0, W), np.float32)
+            return z, z
+        h = np.concatenate([p.get() for p in self._stripe_h])
+        v = np.concatenate([p.get() for p in self._stripe_v])
+        return h, v
 
 
 class PileUpper:
@@ -641,12 +715,18 @@ class PileUpper:
                 )
 
         else:
+            # band_tiles includes tiles with |tile_row - tile_col| <= kband;
+            # a window's 4 corner tiles are (t1|e1, t2|e2) — check the two
+            # extreme diagonals exactly (an unconditional +1 here silently
+            # aborted every band stream whose windows spanned tile edges)
             kband = band_bins // B + 1
 
             def covers(r1, r2):
-                return bool(
-                    (np.abs(r1 // B - r2 // B) + 1 <= kband).all()
-                )
+                t1, t2 = r1 // B, r2 // B
+                e1 = (r1 + W - 1) // B
+                e2 = (r2 + W - 1) // B
+                worst = np.maximum(np.abs(e1 - t2), np.abs(t1 - e2))
+                return bool((worst <= kband).all())
 
         def build():
             kw = (
@@ -683,7 +763,14 @@ class PileUpper:
         # same call length as run_segment's packed dispatch so both paths
         # share one compiled kernel shape per window size
         chunk = 256 if interpret else 131072
-        stream = _PallasStream(self._session_pool.submit(build), half, chunk)
+        stream = _PallasStream(
+            self._session_pool.submit(build),
+            half,
+            chunk,
+            stripes=bool(self.store_stripes),
+            stripe_f16=bool(getattr(self, "stripe_f16", True))
+            and not interpret,
+        )
         stream.covers = covers
         return stream
 
@@ -837,6 +924,8 @@ class PileUpper:
 
         # -- phase 1: host coordinate collection -----------------------
         cols = {k: [] for k in ("r1", "r2", "dd0", "cidl", "flip", "h1", "w2")}
+        if self.store_stripes:
+            cols["roi"] = []
         coord_blocks = []
         extra_cols = (
             {k: [] for k in extra_frame_keys} if extra_frame_keys else None
@@ -931,6 +1020,14 @@ class PileUpper:
             cols["cidl"].append(ucid[inv])
             cols["h1"].append(h1)
             cols["w2"].append(w2)
+            roi = None
+            if self.store_stripes:
+                # stripe planes + coordinates only exist for ROI snips:
+                # control planes/coords never reach the output (reference
+                # coolpup.py:1533–1625), and at nshifts=10 they would be
+                # 10x the transfer volume of the real data
+                roi = chunk["kind"].to_numpy() == "ROI"
+                cols["roi"].append(roi)
             if stream is not None and not stream.aborted:
                 if not stream.covers(cols["r1"][-1], cols["r2"][-1]):
                     # a window escaped the tile predicate (user modify func
@@ -953,6 +1050,12 @@ class PileUpper:
                             cols["cidl"][-1]
                             + stream.half * cols["flip"][-1]
                         ).astype(np.int32),
+                        sr1=(
+                            cols["r1"][-1][roi] if roi is not None else None
+                        ),
+                        sr2=(
+                            cols["r2"][-1][roi] if roi is not None else None
+                        ),
                     )
             if self.store_stripes:
                 # keep RAW column arrays here (one cheap .to_numpy per
@@ -962,7 +1065,7 @@ class PileUpper:
                 # coordinate strings lazily")
                 coord_blocks.append(
                     tuple(
-                        chunk[c].to_numpy()
+                        chunk[c].to_numpy()[roi]
                         for c in (
                             "chrom1", "start1", "end1",
                             "chrom2", "start2", "end2",
@@ -1018,6 +1121,16 @@ class PileUpper:
                     streamed = stream.finish()
                     merged = merge_flip_banks(streamed, stream.half)
                     out_total = {k: v[:G] for k, v in merged.items()}
+                    if self.store_stripes and stream.stripes:
+                        # stripe planes streamed per chunk with async host
+                        # copies (already in stream order)
+                        h, v = stream.stripe_planes()
+                        out_total["horizontal_stripe"] = h.astype(
+                            np.float32
+                        )
+                        out_total["vertical_stripe"] = v[:, ::-1].astype(
+                            np.float32
+                        )
                     self._pallas_side_outputs(
                         stream.session,
                         stream.tile_stack,
@@ -1029,6 +1142,7 @@ class PileUpper:
                         emit_expected,
                         coverage,
                         out_total,
+                        skip_stripes=stream.stripes,
                     )
             elif use_pallas and self.mesh is None:
                 with tile_ctx:
@@ -1132,20 +1246,23 @@ class PileUpper:
                     continue
                 acc[k] = v
 
-            if self.store_stripes or extra_cols is not None:
-                # group per-snip rows by cid with one stable sort (stream
-                # order preserved within each group)
-                order = np.argsort(arr["cidl"], kind="stable")
-                sorted_cid = arr["cidl"][order]
-                bounds = np.searchsorted(
-                    sorted_cid, np.arange(len(cid_of) + 1)
-                )
             if self.store_stripes:
                 # each group keeps ONE 2D block per region instead of a
                 # python list of millions of row arrays (the round-2
-                # stripes-mode cliff)
+                # stripes-mode cliff). Planes/coords exist only for ROI
+                # snips; the XLA paths emit full-stream planes, filtered
+                # here (the pallas paths emit ROI-only directly)
+                roi_all = arr["roi"]
                 hs = np.asarray(out_total["horizontal_stripe"])
                 vs = np.asarray(out_total["vertical_stripe"])
+                if hs.shape[0] == ntot and not roi_all.all():
+                    hs = hs[roi_all]
+                    vs = vs[roi_all]
+                cid_roi = arr["cidl"][roi_all]
+                order_roi = np.argsort(cid_roi, kind="stable")
+                bounds_roi = np.searchsorted(
+                    cid_roi[order_roi], np.arange(len(cid_of) + 1)
+                )
                 # one vectorized string cast per column per region (numpy
                 # U-cast is ~5x pandas astype(str) at millions of rows)
                 cols6 = []
@@ -1160,7 +1277,7 @@ class PileUpper:
                     cols6.append(col)
                 coords_arr = np.stack(cols6, axis=1)
                 for c in range(len(cid_of)):
-                    sel = order[bounds[c] : bounds[c + 1]]
+                    sel = order_roi[bounds_roi[c] : bounds_roi[c + 1]]
                     if len(sel) == 0:
                         continue
                     stripes[c] = {
@@ -1169,12 +1286,18 @@ class PileUpper:
                         "coords": [coords_arr[sel]],
                     }
             if extra_cols is not None:
+                order = np.argsort(arr["cidl"], kind="stable")
+                bounds = np.searchsorted(
+                    arr["cidl"][order], np.arange(len(cid_of) + 1)
+                )
                 # accumulate_values semantics: a flat per-group list of the
-                # frame-column values in stream order (matches the host
-                # stream's _add_snip ordering)
-                for outkey in extra_frame_keys:
+                # frame-column values in stream order, stored under the
+                # SNIP key like the host stream's _add_snip (the reference
+                # convention is output key == snip key,
+                # puputils.py:244–253)
+                for outkey, col in extra_frame_keys.items():
                     vals = np.concatenate(extra_cols[outkey])
-                    extras[outkey] = {
+                    extras[col] = {
                         c: vals[order[bounds[c] : bounds[c + 1]]].tolist()
                         for c in range(len(cid_of))
                         if bounds[c + 1] > bounds[c]
@@ -1346,17 +1469,18 @@ class PileUpper:
                     chunk=chunk, fetch=False,
                 )
                 block_outs.append((base, dev_total))
-            stacked = _stack_fetch(
-                tuple(o for _, o in block_outs)
+            stacked = _stack_merge_fetch(
+                tuple(o for _, o in block_outs), half
             )
             out = None
             for i, (base, _) in enumerate(block_outs):
-                seg = {
-                    k: np.asarray(v[i][:capacity], np.float64)
+                merged = {
+                    k: np.asarray(v[i], np.float64)
                     for k, v in stacked.items()
                 }
-                seg["poison"] = np.isinf(seg["sum"]).astype(np.float64)
-                merged = merge_flip_banks(seg, half)
+                merged["poison"] = np.isinf(merged["sum"]).astype(
+                    np.float64
+                )
                 if out is None:
                     out = {
                         k: np.zeros((G,) + v.shape[1:], v.dtype)
@@ -1497,30 +1621,34 @@ class PileUpper:
             out["exp_sum"] = es
             out["exp_num"] = en
         if self.store_stripes:
-            # per-snip sharded stripe output via the stripe quad kernel per
+            # per-snip sharded stripe output via the flat stripe gather per
             # device (VERDICT r3 #2: mesh+stripes no longer bail to XLA);
-            # v-stripes = transposed per-device stacks with swapped anchors,
-            # rows reversed (same trick as the single-device path)
+            # vertical rows gather the center column and are reversed below
             f16 = bool(getattr(self, "stripe_f16", True)) and not interpret
-            r1_rows = [arr["r1"][items] for items in dev_items]
-            r2_rows = [arr["r2"][items] for items in dev_items]
+            roi = arr["roi"]
+            # roi-only global position of each stream row
+            pos = np.cumsum(roi) - 1
+            items_roi = [items[roi[items]] for items in dev_items]
+            r1_rows = [arr["r1"][it] for it in items_roi]
+            r2_rows = [arr["r2"][it] for it in items_roi]
             h_rows = session.run_stripes(r1_rows, r2_rows, f16=f16)
             v_rows = session.run_stripes(
-                r2_rows, r1_rows, transpose=True, f16=f16
+                r1_rows, r2_rows, vertical=True, f16=f16
             )
-            stripes_h = np.full((ntot, W), np.nan, np.float32)
-            stripes_v = np.full((ntot, W), np.nan, np.float32)
-            for d, items in enumerate(dev_items):
-                if len(items):
-                    stripes_h[items] = h_rows[d]
-                    stripes_v[items] = v_rows[d][:, ::-1]
+            n_roi = int(roi.sum())
+            stripes_h = np.full((n_roi, W), np.nan, np.float32)
+            stripes_v = np.full((n_roi, W), np.nan, np.float32)
+            for d, it in enumerate(items_roi):
+                if len(it):
+                    stripes_h[pos[it]] = h_rows[d]
+                    stripes_v[pos[it]] = v_rows[d][:, ::-1]
             out["horizontal_stripe"] = stripes_h
             out["vertical_stripe"] = stripes_v
         return out
 
     def _pallas_side_outputs(
         self, session, tile_stack, dev, arr, ntot, W, G, emit_expected,
-        coverage, out,
+        coverage, out, skip_stripes=False,
     ):
         """Cheap exact side computations beside the quad kernel: coverage
         scatter-add, expected-emission toeplitz histogram, per-snip stripe
@@ -1579,27 +1707,20 @@ class PileUpper:
             out["exp_sum"] = exp_sum
             out["exp_num"] = exp_num
 
-        if self.store_stripes:
-            # stripe planes come from the stripe variant of the quad kernel
-            # (one packed pass per orientation): horizontal = center row;
-            # vertical = the same kernel over TRANSPOSED stacks with swapped
-            # anchors (v_stripe(a,b)[i] = M[a+i, b+mid] = M^T[b+mid, a+i]),
-            # reversed per the reference (coolpup.py:1164–1188)
-            import jax.numpy as jnp
-
+        if self.store_stripes and not skip_stripes:
+            # stripe planes are a flat XLA gather from the session's
+            # normalized stacks (ops/pallas_gather.make_stripe_gather);
+            # vertical rows come back unreversed and are reversed here per
+            # the reference (coolpup.py:1164–1188).
             # f16 device->host transfer (VERDICT r3 #2) halves the dominant
             # stripe payload; planes upcast to f32 for the host pipeline
             f16 = bool(getattr(self, "stripe_f16", True)) and (
                 self.backend != "pallas-interpret"
             )
-            h = session.run_stripes(arr["r1"], arr["r2"], f16=f16)
-            tmT = np.ascontiguousarray(tile_stack.tile_map.T)
-            ctT = jnp.transpose(session.ctiles_dev, (0, 2, 1))
-            ntT = jnp.transpose(session.ntiles_dev, (0, 2, 1))
-            v = session.run_stripes(
-                arr["r2"], arr["r1"], ctiles=ctT, ntiles=ntT, tile_map=tmT,
-                f16=f16,
-            )
+            roi = arr["roi"]
+            sr1, sr2 = arr["r1"][roi], arr["r2"][roi]
+            h = session.run_stripes(sr1, sr2, f16=f16)
+            v = session.run_stripes(sr1, sr2, f16=f16, vertical=True)
             out["horizontal_stripe"] = h.astype(np.float32)
             out["vertical_stripe"] = v[:, ::-1].astype(np.float32)
 

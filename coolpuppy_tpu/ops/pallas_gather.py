@@ -58,21 +58,10 @@ class PallasGatherConfig:
     interpret: bool = False
     B: int = PALLAS_B
     unroll: int = 2  # inner-loop unroll
-    # stripes=True additionally emits each snip's center ROW (horizontal
-    # stripe, reference coolpup.py:1164–1188) to an HBM output: rows land in
-    # a [stripe_cap, W] VMEM scratch at their per-quad index and one DMA per
-    # quad ships the slab to the sorted-stream offset. Vertical stripes are
-    # the same kernel over transposed stacks with swapped coordinates.
-    # S (the padded call length) rides the output shape, so it must be set.
-    stripes: bool = False
-    S: int = 0
-    stripe_cap: int = 2048
 
     def __post_init__(self):
         # W + alignment headroom must fit the superwindow rows
         assert self.W <= self.B - 8
-        if self.stripes:
-            assert self.S > 0
 
 
 @lru_cache(maxsize=32)
@@ -82,19 +71,11 @@ def _make_pallas_call(cfg: PallasGatherConfig):
     parallel/pallas_mesh.make_sharded_pallas_step under shard_map)."""
     W, B, C = cfg.W, cfg.B, cfg.capacity
 
-    CAP = cfg.stripe_cap
-    mid = W // 2
-
     def kernel(
         k00, k01, k10, k11, qstart, qcount, snip,
         ctiles_ref, ntiles_ref,
-        *rest,
+        sum_ref, num_ref, csup, nsup, sems,
     ):
-        if cfg.stripes:
-            (sum_ref, num_ref, hs_ref,
-             csup, nsup, hrows, sems, sem_s) = rest
-        else:
-            sum_ref, num_ref, csup, nsup, sems = rest
         q = pl.program_id(0)
 
         @pl.when(q == 0)
@@ -154,30 +135,9 @@ def _make_pallas_call(cfg: PallasGatherConfig):
                     rows = pltpu.roll(rows, -a_off, 0)
                     return pltpu.roll(rows, -b, 1)[0:W, 0:W]
 
-                if cfg.stripes:
-                    # full-width rolled rows: DMA lane slices must be
-                    # 128-aligned, so stripe rows stay B lanes wide in
-                    # VMEM/HBM (the first W lanes are the stripe; the jit
-                    # wrapper slices [:W] in XLA before any fetch)
-                    def cut_full(ref):
-                        rows = ref[pl.ds(a_al, WA), :]
-                        rows = pltpu.roll(rows, -a_off, 0)
-                        return pltpu.roll(rows, -b, 1)
+                sum_ref[g] = sum_ref[g] + cut(csup)
+                num_ref[g] = num_ref[g] + cut(nsup)
 
-                    c_full = cut_full(csup)
-                    n_full = cut_full(nsup)
-                    sum_ref[g] = sum_ref[g] + c_full[0:W, 0:W]
-                    num_ref[g] = num_ref[g] + n_full[0:W, 0:W]
-                    # center row with the reference's NaN semantics
-                    # (masked & zero-count pixels -> NaN, poison +inf kept)
-                    hrow = c_full[mid, 0:B]
-                    nrow = n_full[mid, 0:B]
-                    hrows[pl.ds(j, 1), :] = jnp.where(
-                        (nrow > 0) | jnp.isinf(hrow), hrow, jnp.nan
-                    )[None, :]
-                else:
-                    sum_ref[g] = sum_ref[g] + cut(csup)
-                    num_ref[g] = num_ref[g] + cut(nsup)
 
             U = cfg.unroll
 
@@ -193,21 +153,6 @@ def _make_pallas_call(cfg: PallasGatherConfig):
 
             jax.lax.fori_loop(0, (cnt + U - 1) // U, body, 0)
 
-            if cfg.stripes:
-                # ship the quad's stripe rows to their sorted-stream slot.
-                # The copy is CAP rows (static shape); rows past cnt are
-                # stale, but the grid is sequential and each wait() orders
-                # the DMAs, so the NEXT quad (which starts at qstart+cnt)
-                # overwrites them — only rows past the final quad's count
-                # land in the output's padding tail (cfg.S + CAP rows).
-                cp = pltpu.make_async_copy(
-                    hrows.at[0:CAP, :],
-                    hs_ref.at[pl.ds(qstart[q], CAP)],
-                    sem_s,
-                )
-                cp.start()
-                cp.wait()
-
     out_specs = [
         pl.BlockSpec((C, W, W), lambda *_: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -222,15 +167,7 @@ def _make_pallas_call(cfg: PallasGatherConfig):
         pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # csup
         pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # nsup
     ]
-    if cfg.stripes:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # hs (HBM)
-        out_shape.append(
-            jax.ShapeDtypeStruct((cfg.S + CAP, B), jnp.float32)
-        )
-        scratch.append(pltpu.VMEM((CAP, B), jnp.float32))  # hrows
     scratch.append(pltpu.SemaphoreType.DMA((8,)))
-    if cfg.stripes:
-        scratch.append(pltpu.SemaphoreType.DMA)  # stripe slab copy
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -257,16 +194,9 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
 
     @jax.jit
     def step(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
-        out = call(
+        s, n = call(
             k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles
         )
-        if cfg.stripes:
-            s, n, hs = out
-            # compact [S, W] before any fetch: the HBM plane is B lanes wide
-            # for DMA alignment, and fetching the padding would 6x the
-            # device->host bytes
-            return {"sum": s, "num": n, "hstripe": hs[: cfg.S, : cfg.W]}
-        s, n = out
         return {"sum": s, "num": n}
 
     return step
@@ -296,35 +226,47 @@ def make_pallas_pileup_step_flat(cfg: PallasGatherConfig, chunk: int):
     def step(flat, ctiles, ntiles):
         parts = [flat[i * Q : (i + 1) * Q] for i in range(6)]
         snip = flat[6 * Q : 6 * Q + chunk]
-        out = call(*parts, snip, ctiles, ntiles)
-        if cfg.stripes:
-            s, n, hs = out
-            return {"sum": s, "num": n, "hstripe": hs[: cfg.S, : cfg.W]}
-        s, n = out
+        s, n = call(*parts, snip, ctiles, ntiles)
         return {"sum": s, "num": n}
 
     return step
 
 
-def _stripe_unsort_gather(parts, idx, n, f16=False):
-    """Concat per-call stripe planes and gather rows back to stream order
-    on device; exact [n, W] result (one host fetch for the whole stream).
-    ``f16=True`` casts to float16 ON DEVICE before the fetch — per-snip
-    stripe planes are the dominant device->host payload of stripes mode
-    (1.2 GB at 7M snips through a ~27 MB/s tunnel), and f16 halves it;
-    NaN/inf survive the cast and typical pile-up values (1e-4..1e4) keep
-    ~3 significant digits, plenty for stack-up plots and scores. Pass
-    f16=False (PileUpper.stripe_f16 = False) for full-precision planes."""
+@lru_cache(maxsize=32)
+def make_stripe_gather(W, B, f16, vertical):
+    """Per-snip stripe rows as ONE flat XLA gather from the normalized
+    stacks: element j of snip (a, b)'s horizontal stripe is
+    M[a+mid, b+j] = ctiles[tile_map[(a+mid)//B, (b+j)//B], (a+mid)%B,
+    (b+j)%B]; vertical swaps the roles (rows a+i, column b+mid; callers
+    reverse). n*W gathered elements replace the stripe VARIANT of the quad
+    kernel, whose per-snip dynamic single-row VMEM stores ran ~50x slower
+    than the plain kernel (round-4 profile: 0.9 s per 131k snips).
+    NaN semantics match the reference (masked & zero-count -> NaN, poison
+    +inf kept, coolpup.py:1164–1188)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def f(parts, idx):
-        flat = jnp.concatenate(parts, axis=0)
-        out = jnp.take(flat, idx, axis=0)
+    def f(ctiles, ntiles, tmap_flat, ncolp, r1, r2):
+        mid = W // 2
+        if vertical:
+            rr = r1[:, None] + jnp.arange(W, dtype=r1.dtype)[None, :]
+            cc = (r2 + mid)[:, None]
+        else:
+            rr = (r1 + mid)[:, None]
+            cc = r2[:, None] + jnp.arange(W, dtype=r2.dtype)[None, :]
+        tid = jnp.take(tmap_flat, (rr // B) * ncolp + (cc // B))
+        flat = tid * (B * B) + (rr % B) * B + (cc % B)
+        c = jnp.take(ctiles.reshape(-1), flat.reshape(-1)).reshape(
+            flat.shape
+        )
+        nv = jnp.take(ntiles.reshape(-1), flat.reshape(-1)).reshape(
+            flat.shape
+        )
+        out = jnp.where((nv > 0) | jnp.isinf(c), c, jnp.nan)
         return out.astype(jnp.float16) if f16 else out
 
-    return f(parts, idx)[:n]
+    return f
 
 
 def pack_snips(o1, o2, cid):
@@ -348,8 +290,7 @@ def pack_snips(o1, o2, cid):
     return (o1 << 24) | (o2 << 17) | cid
 
 
-def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,
-                max_quad=None, return_perm=False):
+def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk):
     """Globally quad-sort a snip stream and greedily pack it into
     fixed-shape kernel calls.
 
@@ -358,14 +299,11 @@ def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,
     calls bounded by ``chunk`` snips and ``Q_CAP`` quad slots, so each quad
     is DMA-staged once per stream and the grid length tracks real work. A
     quad larger than the snip budget splits across calls (its tiles
-    re-stage); ``max_quad`` additionally splits quads into runs of at most
-    that many snips (the stripe kernel's VMEM row-scratch bound). Returns
-    ``(snips, packs)`` — ``snips`` is the sorted packed-word array and each
-    pack is ``([k00, k01, k10, k11], qstart, qcount, snip_offset,
-    snip_count)`` with qstart relative to the call's snip slice — plus the
-    sort permutation when ``return_perm`` (so per-snip kernel outputs can
-    be unsorted back to stream order). An empty stream yields one
-    all-empty call (zeroed accumulators)."""
+    re-stage). Returns ``(snips, packs)`` — ``snips`` is the sorted
+    packed-word array and each pack is ``([k00, k01, k10, k11], qstart,
+    qcount, snip_offset, snip_count)`` with qstart relative to the call's
+    snip slice. An empty stream yields one all-empty call (zeroed
+    accumulators)."""
     from .. import native
 
     ncol = tile_map.shape[1]
@@ -375,28 +313,16 @@ def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,
     packed = pack_snips(r1a % B, r2a % B, cid)
     nbuckets = int(tile_map.shape[0] - 1) * ncol + 1
     q32 = ((r1a // B).astype(np.int64) * ncol + (r2a // B)).astype(np.int32)
-    perm = None
     if native.quad_sort is not None and nbuckets <= (1 << 23) and n > 0:
-        if return_perm:
-            perm, counts_full = native.quad_sort(
-                q32, np.arange(n, dtype=np.int32), nbuckets
-            )
-            snips = packed[perm]
-        else:
-            snips, counts_full = native.quad_sort(q32, packed, nbuckets)
+        snips, counts_full = native.quad_sort(q32, packed, nbuckets)
         uniq = np.flatnonzero(counts_full)
         counts = counts_full[uniq]
     else:
-        if return_perm:
-            perm = np.argsort(q32, kind="stable").astype(np.int32)
-            snips = packed[perm]
-            qs = q32[perm]
-        else:
-            # 47-bit key: quad id above the 31 packed payload bits
-            key = (q32.astype(np.int64) << 31) | packed.astype(np.int64)
-            key.sort(kind="stable")
-            snips = (key & 0x7FFFFFFF).astype(np.int32)
-            qs = (key >> 31).astype(np.int32)
+        # 47-bit key: quad id above the 31 packed payload bits
+        key = (q32.astype(np.int64) << 31) | packed.astype(np.int64)
+        key.sort(kind="stable")
+        snips = (key & 0x7FFFFFFF).astype(np.int32)
+        qs = (key >> 31).astype(np.int32)
         if len(snips):
             bnd = np.flatnonzero(np.diff(qs)) + 1
             starts = np.concatenate([[0], bnd])
@@ -428,8 +354,6 @@ def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,
         nq, used = 0, 0
         while qi < nu and nq < Q_CAP and used < chunk:
             take = min(counts[qi] - pos, chunk - used)
-            if max_quad is not None:
-                take = min(take, max_quad)
             for a, src in zip(ks, qk):
                 a[nq] = src[qi]
             qstart[nq] = used
@@ -442,8 +366,6 @@ def pack_stream(r1, r2, cid, tile_map, B, Q_CAP, chunk,
                 pos = 0
         packs.append((ks, qstart, qcount, base, used))
         base += used
-    if return_perm:
-        return snips, packs, perm
     return snips, packs
 
 
@@ -458,6 +380,17 @@ def fold_expected(evec, pad):
     out[pad : pad + n] = evec[:n]
     out[pad - n + 1 : pad + 1] = evec[:n][::-1]
     return out.reshape(-1, 1)
+
+
+class _LazyPlanes:
+    """Handle for an async-fetched device array (run_stripes
+    async_fetch=True): .get() materializes the numpy planes."""
+
+    def __init__(self, dev_array):
+        self._dev = dev_array
+
+    def get(self):
+        return np.asarray(self._dev)
 
 
 class PallasPileupSession:
@@ -630,63 +563,54 @@ class PallasPileupSession:
             return total
         return self.finalize([total])
 
-    def run_stripes(self, r1, r2, chunk=131072, ctiles=None, ntiles=None,
-                    tile_map=None, f16=False):
-        """Per-snip center-ROW (horizontal stripe) planes via the stripe
-        variant of the quad kernel — one packed pass emitting [n, W] rows in
-        ORIGINAL stream order (reference coolpup.py:1164–1188). Vertical
-        stripes are this same call on TRANSPOSED stacks with swapped
-        coordinates (callers then reverse the rows). ``ctiles``/``ntiles``/
-        ``tile_map`` override the session's stacks for that transposed
-        pass."""
+    def run_stripes(self, r1, r2, chunk=131072, f16=False,
+                    async_fetch=False, vertical=False):
+        """Per-snip stripe planes in ORIGINAL stream order (reference
+        coolpup.py:1164–1188): horizontal = center row, ``vertical=True`` =
+        center column rows (callers reverse). ONE flat XLA gather per chunk
+        from the session's normalized device stacks (make_stripe_gather) —
+        no kernel pass, no sorting, no transposed stacks.
+        ``async_fetch=True`` starts the device->host copy and returns a
+        handle (.get()), so plane transfers overlap later work."""
+        import jax.numpy as jnp
+
         B = self.tile_stack.B
-        tm = self.tile_stack.tile_map if tile_map is None else tile_map
-        ct = self.ctiles_dev if ctiles is None else ctiles
-        nt = self.ntiles_dev if ntiles is None else ntiles
+        W = int(self.cfg_kw["W"])
         n = len(r1)
         if n == 0:
-            W = self.cfg_kw["W"]
-            return np.zeros((0, W), np.float32)
-        interpret = bool(self.cfg_kw.get("interpret"))
-        if interpret:
-            chunk = min(chunk, max(64, _ceil_pow2(n)))
-        Q_CAP = 64 if interpret else 128
-        CAP = min(2048, chunk)
-        zeros = np.zeros(n, np.int32)
-        snips, packs, perm = pack_stream(
-            r1, r2, zeros, tm, B, Q_CAP, chunk,
-            max_quad=CAP, return_perm=True,
-        )
-        cfg = PallasGatherConfig(
-            Q=Q_CAP, stripes=True, S=chunk, stripe_cap=CAP, **self.cfg_kw
-        )
-        step = make_pallas_pileup_step_flat(cfg, chunk)
-        outs = []
-        for ks, qstart, qcount, lo, used in packs:
-            flat = jax.device_put(
-                pack_call_args(ks, qstart, qcount, snips, lo, used,
-                               Q_CAP, chunk)
+            out = np.zeros((0, W), np.float32)
+            return _LazyPlanes(out) if async_fetch else out
+        if not hasattr(self, "_tmap_dev"):
+            tm = self.tile_stack.tile_map
+            self._tmap_dev = jax.device_put(
+                np.ascontiguousarray(tm.ravel().astype(np.int32))
             )
-            out = step(flat, ct, nt)
-            outs.append((out["hstripe"], used))
-        # unsort to stream order ON DEVICE (a [n, W] row gather is ~ms
-        # there; the host scatter it replaces cost seconds at 1M rows),
-        # then ONE exact-size fetch
-        bases = np.zeros(len(packs) + 1, np.int64)
-        for c, (_, _, _, lo, used) in enumerate(packs):
-            bases[c + 1] = bases[c] + used
-        inv = np.empty(n, np.int64)
-        inv[perm] = np.arange(n)
-        call_of = np.searchsorted(bases, inv, side="right") - 1
-        padded_idx = (
-            call_of * chunk + (inv - bases[call_of])
-        ).astype(np.int32)
-        n_pad = max(64, _ceil_pow2(n))
-        idx_up = np.zeros(n_pad, np.int32)
-        idx_up[:n] = padded_idx
-        gathered = _stripe_unsort_gather(
-            tuple(h for h, _ in outs), jax.device_put(idx_up), n, f16=f16
-        )
+            self._tmap_ncol = np.int32(tm.shape[1])
+        g = make_stripe_gather(W, B, bool(f16), bool(vertical))
+        parts = []
+        for lo in range(0, n, chunk):
+            sl = slice(lo, min(lo + chunk, n))
+            m = sl.stop - sl.start
+            mp = max(64, _ceil_pow2(m)) if m < chunk else chunk
+            r1p = np.zeros(mp, np.int32)
+            r1p[:m] = r1[sl]
+            r2p = np.zeros(mp, np.int32)
+            r2p[:m] = r2[sl]
+            out = g(
+                self.ctiles_dev, self.ntiles_dev, self._tmap_dev,
+                self._tmap_ncol, jax.device_put(r1p), jax.device_put(r2p),
+            )
+            parts.append(out[:m] if m != mp else out)
+        gathered = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if async_fetch:
+            # start the device->host transfer now and materialize later:
+            # stripe planes are the dominant stripes-mode payload, and the
+            # async copy overlaps subsequent collection/kernel work
+            try:
+                gathered.copy_to_host_async()
+            except Exception:
+                pass
+            return _LazyPlanes(gathered)
         return np.asarray(gathered)
 
     @staticmethod

@@ -146,37 +146,29 @@ def make_sharded_pallas_step(cfg: PallasGatherConfig, mesh, tiles_sharded):
 
 
 @lru_cache(maxsize=32)
-def make_sharded_pallas_stripe_step(
-    cfg: PallasGatherConfig, mesh, tiles_sharded, transpose
-):
-    """shard_map step: the STRIPE variant of the quad kernel per device —
-    per-snip center-row planes stay a SHARDED [n, S, W] output (each
-    device emits rows only for its routed snips), so mesh runs no longer
-    forfeit the kernel for stripes mode (VERDICT r3 #2). ``transpose``
-    serves the vertical-stripe pass: each device transposes its own
-    normalized stacks in-program (M^T tile (i, j) = M tile (j, i), which
-    the row-banded partition still owns or holds as halo for snips routed
-    by their row anchor — see PileUpper._pallas_side_outputs for the
-    single-device version of the trick)."""
+def make_sharded_stripe_gather_step(W, B, f16, vertical, mesh,
+                                    tiles_sharded):
+    """shard_map of the flat stripe gather
+    (ops/pallas_gather.make_stripe_gather) over "loci": each device
+    gathers [S, W] stripe rows for its routed snips from its own (banded +
+    halo, or replicated) normalized stacks via its own tile map — the
+    per-snip sharded stripe output that keeps mesh+stripes off the XLA
+    bailout (VERDICT r3 #2). Vertical rows gather the center column
+    (rows a+i may cross into the received halo tile-row, which the
+    per-device tile map addresses)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
+    from ..ops.pallas_gather import make_stripe_gather
     from .mesh import _shard_map
 
-    call = _make_pallas_call(cfg)
+    core = make_stripe_gather(W, B, f16, vertical)
 
-    def local(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
+    def local(r1, r2, tmap, ncolp, ctiles, ntiles):
         ct = ctiles[0] if tiles_sharded else ctiles
         nt = ntiles[0] if tiles_sharded else ntiles
-        if transpose:
-            ct = jnp.transpose(ct, (0, 2, 1))
-            nt = jnp.transpose(nt, (0, 2, 1))
-        _s, _num, hs = call(
-            k00[0], k01[0], k10[0], k11[0], qstart[0], qcount[0],
-            snip[0], ct, nt,
-        )
-        return hs[: cfg.S, : cfg.W][None]
+        return core(ct, nt, tmap[0], ncolp, r1[0], r2[0])[None]
 
     shard = P("loci")
     rep = P()
@@ -184,7 +176,7 @@ def make_sharded_pallas_stripe_step(
     sharded = _shard_map(
         local,
         mesh,
-        in_specs=(shard,) * 7 + (tile_spec,) * 2,
+        in_specs=(shard, shard, shard, rep, tile_spec, tile_spec),
         out_specs=shard,
     )
     return jax.jit(sharded)
@@ -354,18 +346,13 @@ class PallasMeshSession:
             )
         return total
 
-    def run_stripes(self, r1_rows, r2_rows, transpose=False, f16=False):
-        """Per-snip center-row (stripe) planes on the mesh: each device runs
-        the stripe variant of the quad kernel over its routed snips against
-        its own (banded + halo, or replicated) stacks; planes come back as
-        ONE stacked fetch and are unsorted per device to the order of
-        ``r1_rows[d]``. Returns a list of [len(r1_rows[d]), W] arrays.
-
-        For vertical stripes pass swapped anchors (r2, r1) and
-        ``transpose=True`` (the per-device stacks transpose in-program;
-        snips stay routed by their ROW anchor, whose transposed tiles the
-        row-banded partition still owns — M^T tile (b//B, a//B) = M tile
-        (a//B, b//B)); callers reverse the returned rows."""
+    def run_stripes(self, r1_rows, r2_rows, vertical=False, f16=False,
+                    chunk=131072):
+        """Per-snip stripe planes on the mesh: each device runs the flat
+        stripe gather over its routed snips against its own (banded + halo,
+        or replicated) stacks; ONE stacked fetch, rows already in the order
+        of ``r1_rows[d]``. Returns a list of [len(r1_rows[d]), W] arrays.
+        ``vertical=True`` gathers the center column (callers reverse)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -374,77 +361,43 @@ class PallasMeshSession:
         n = int(mesh.shape["loci"])
         B = self.B
         W = int(self.cfg_kw["W"])
-        interpret = bool(self.cfg_kw.get("interpret"))
-        Q_CAP = 64 if interpret else 128
         maxlen = max((len(r) for r in r1_rows), default=0)
         if maxlen == 0:
             return [np.zeros((0, W), np.float32) for _ in range(n)]
-        chunk = (
-            min(131072, max(64, _ceil_pow2(maxlen)))
-            if interpret
-            else 131072
-        )
-        CAP = min(2048, chunk)
-        per_dev = []
-        for d in range(n):
-            tm = self.tile_maps[d][
-                : (len(self.tile_maps[d]) // self.ncolp) * self.ncolp
-            ].reshape(-1, self.ncolp)
-            if transpose:
-                tm = np.ascontiguousarray(tm.T)
-            nd = len(r1_rows[d])
-            snips, packs, perm = pack_stream(
-                np.asarray(r1_rows[d], np.int64),
-                np.asarray(r2_rows[d], np.int64),
-                np.zeros(nd, np.int32),
-                tm, B, Q_CAP, chunk,
-                max_quad=CAP, return_perm=True,
-            )
-            per_dev.append((snips, packs, perm))
-        n_calls = max(len(p) for _, p, _ in per_dev)
-
-        cfg = PallasGatherConfig(
-            Q=Q_CAP, stripes=True, S=chunk, stripe_cap=CAP, **self.cfg_kw
-        )
-        step = make_sharded_pallas_stripe_step(
-            cfg, mesh, self.part is not None, bool(transpose)
+        step = make_sharded_stripe_gather_step(
+            W, B, bool(f16), bool(vertical), mesh, self.part is not None
         )
         shard = NamedSharding(mesh, P("loci"))
+        Mpad = self.tile_maps.shape[1]
+        tmap = np.ascontiguousarray(
+            np.asarray(self.tile_maps, np.int32)
+        )
+        tmap_dev = jax.device_put(tmap, shard)
+        ncolp = np.int32(self.ncolp)
+        S = min(chunk, max(64, _ceil_pow2(maxlen)))
         call_planes = []
-        for c in range(n_calls):
-            batch = {
-                k: np.zeros((n, Q_CAP), np.int32)
-                for k in ("k00", "k01", "k10", "k11", "qstart", "qcount")
-            }
-            snip = np.zeros((n, chunk), np.int32)
-            for d, (snips, packs, _perm) in enumerate(per_dev):
-                if c >= len(packs):
-                    continue
-                ks, qstart, qcount, lo, used = packs[c]
-                for k, a in zip(("k00", "k01", "k10", "k11"), ks):
-                    batch[k][d] = a
-                batch["qstart"][d] = qstart
-                batch["qcount"][d] = qcount
-                snip[d, :used] = snips[lo : lo + used]
-            args = tuple(
-                jax.device_put(x, shard)
-                for x in (
-                    batch["k00"], batch["k01"], batch["k10"], batch["k11"],
-                    batch["qstart"], batch["qcount"], snip,
-                )
+        for lo in range(0, maxlen, S):
+            r1c = np.zeros((n, S), np.int32)
+            r2c = np.zeros((n, S), np.int32)
+            for d in range(n):
+                part = r1_rows[d][lo : lo + S]
+                r1c[d, : len(part)] = part
+                r2c[d, : len(part)] = r2_rows[d][lo : lo + S]
+            out = step(
+                jax.device_put(r1c, shard), jax.device_put(r2c, shard),
+                tmap_dev, ncolp, self.ctiles, self.ntiles,
             )
-            call_planes.append(step(*args, self.ctiles, self.ntiles))
-        stacked = jnp.stack(call_planes)  # [n_calls, n, chunk, W]
-        if f16:
-            stacked = stacked.astype(jnp.float16)
-        planes = np.asarray(jax.device_get(stacked))
+            call_planes.append(out)
+        stacked = (
+            call_planes[0][:, None]
+            if len(call_planes) == 1
+            else jnp.stack(call_planes, axis=1)
+        )  # [n, n_calls, S, W]
+        planes = np.asarray(jax.device_get(stacked), np.float32)
         out_rows = []
-        for d, (_snips, packs, perm) in enumerate(per_dev):
+        for d in range(n):
             nd = len(r1_rows[d])
-            rows = np.empty((nd, W), np.float32)
-            for c, (_ks, _qs, _qc, lo, used) in enumerate(packs):
-                if used:
-                    rows[perm[lo : lo + used]] = planes[c, d, :used]
+            rows = planes[d].reshape(-1, W)[:nd]
             out_rows.append(rows)
         return out_rows
 

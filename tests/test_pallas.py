@@ -179,11 +179,8 @@ def test_packed_dispatch_edges():
 
 
 def test_run_stripes_matches_oracle():
-    """run_stripes (stripe variant of the quad kernel): h/v planes in stream
-    order vs a dense oracle, across quad splits (max_quad) and transposed
-    stacks for the vertical orientation (reference coolpup.py:1164-1188)."""
-    import jax.numpy as jnp
-
+    """run_stripes (flat XLA gather from the normalized stacks): h/v planes
+    in stream order vs a dense oracle (reference coolpup.py:1164-1188)."""
     from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
 
     rng = np.random.default_rng(3)
@@ -206,11 +203,7 @@ def test_run_stripes_matches_oracle():
              interpret=True),
     )
     h = session.run_stripes(r1, r2)
-    tmT = np.ascontiguousarray(ts.tile_map.T)
-    ctT = jnp.transpose(session.ctiles_dev, (0, 2, 1))
-    ntT = jnp.transpose(session.ntiles_dev, (0, 2, 1))
-    v = session.run_stripes(r2, r1, ctiles=ctT, ntiles=ntT, tile_map=tmT)
-    v = v[:, ::-1]
+    v = session.run_stripes(r1, r2, vertical=True)[:, ::-1]
 
     # dense oracle (reference hot-loop semantics)
     mat = dense.copy().astype(np.float64)

@@ -204,3 +204,36 @@ def test_pallas_stream_predicate_abort(tmp_path):
         return out
 
     _compare(run("pallas-interpret"), run("xla"))
+
+
+def test_pallas_stripes_with_controls(toy):
+    """store_stripes + shifted controls: stripe planes/coordinates exist
+    only for ROI snips (control planes never reach the output, reference
+    coolpup.py:1533–1625) — ROI-filtered identically on the pallas and XLA
+    paths, and the output stripes row count equals the ROI n."""
+    clr, dense, weights = toy
+
+    def run(backend):
+        cc = CoordCreator(
+            toy_features(), BINSIZE, features_format="bed",
+            flank=3 * BINSIZE, mindist=0, nshifts=2, seed=0,
+        )
+        pu = PileUpper(
+            clr, cc, view_df=toy_regions(), backend=backend,
+            expected=False, control=True, store_stripes=True,
+        )
+        return pu.pileupsWithControl()
+
+    a = run("pallas-interpret").set_index("group").loc["all"]
+    b = run("xla").set_index("group").loc["all"]
+    assert a["n"] == b["n"] > 0
+    ha = np.asarray(a["horizontal_stripe"], float)
+    hb = np.asarray(b["horizontal_stripe"], float)
+    assert ha.shape == hb.shape == (a["n"], ha.shape[1])
+    np.testing.assert_allclose(
+        np.nan_to_num(ha), np.nan_to_num(hb), rtol=1e-4, atol=1e-7
+    )
+    ca = np.asarray(a["coordinates"], dtype=object)
+    cb = np.asarray(b["coordinates"], dtype=object)
+    assert ca.shape == cb.shape == (a["n"], 6)
+    assert (ca == cb).all()
