@@ -264,6 +264,13 @@ class CoordCreator:
             raise ValueError("Cannot do local with trans=True")
 
         self.intervals = self._binnify(self.intervals)
+        if self.kind == "bed":
+            # stable integer anchor id: lets by-window grouping ride int
+            # group codes instead of 14M python (chrom, start, end) tuples
+            # (engine pileupsByWindowWithControl)
+            self.intervals = self.intervals.assign(
+                anchor_idx=np.arange(len(self.intervals), dtype=np.int64)
+            )
 
     def bedpe2bed(self, df, ends=True, how="center"):
         """Collapse bedpe rows to bed (reference coolpup.py:463–487):

@@ -250,17 +250,11 @@ class _PallasStream:
 
     def _dispatch_stripes(self, n):
         take = self._take(n, bufs=self._sbufs)
-        f16 = self.stripe_f16
+        # both orientations fused: one dispatch, one [n, 2W] async copy
         self._stripe_h.append(
             self.session.run_stripes(
-                take["r1"], take["r2"], chunk=self.chunk, f16=f16,
-                async_fetch=True,
-            )
-        )
-        self._stripe_v.append(
-            self.session.run_stripes(
-                take["r1"], take["r2"], chunk=self.chunk, f16=f16,
-                async_fetch=True, vertical=True,
+                take["r1"], take["r2"], chunk=self.chunk,
+                f16=self.stripe_f16, async_fetch=True, hv=True,
             )
         )
 
@@ -286,9 +280,9 @@ class _PallasStream:
             )
             z = np.zeros((0, W), np.float32)
             return z, z
-        h = np.concatenate([p.get() for p in self._stripe_h])
-        v = np.concatenate([p.get() for p in self._stripe_v])
-        return h, v
+        hv = np.concatenate([p.get() for p in self._stripe_h])
+        W = hv.shape[1] // 2
+        return hv[:, :W], hv[:, W:]
 
 
 class PileUpper:
@@ -816,6 +810,7 @@ class PileUpper:
         postprocess_snip_func=None,
         extra_sum_funcs=None,
         dev=None,
+        dual_anchor=False,
     ):
         """Accumulate all snips of one region (pair) on device; returns
         {"ROI": {group: pup}, "control": {...}} (reference
@@ -903,7 +898,8 @@ class PileUpper:
         # that needs no window coordinates (cis |row-col| band; bedpe/trans
         # interval rectangles) lets dispatches overlap the host collection
         stream = None
-        if use_pallas and self.mesh is None:
+        if use_pallas and self.mesh is None and not dual_anchor:
+            # (by-window's G >> stream capacity would abort any stream)
             tctx = timers.phase("tiles") if timers else contextlib.nullcontext()
             if (
                 region2 == region1
@@ -927,6 +923,7 @@ class PileUpper:
         if self.store_stripes:
             cols["roi"] = []
         coord_blocks = []
+        dual_lut = None
         extra_cols = (
             {k: [] for k in extra_frame_keys} if extra_frame_keys else None
         )
@@ -970,6 +967,67 @@ class PileUpper:
             inb = (r1 >= 0) & (e1 <= dev["n1"]) & (r2 >= 0) & (e2 <= dev["n2"])
             chunk = chunk.loc[inb]
             if len(chunk) == 0:
+                continue
+            if dual_anchor:
+                # by-window: each snip contributes to BOTH anchors' groups.
+                # Duplicating the flat arrays replaces the frame-doubling
+                # postprocess (pandas copies of 14M rows dominated
+                # by-window walls); groups are (kind, anchor_idx) ints via
+                # a dense lookup
+                n_c = len(chunk)
+                r1c = (chunk["stBin1"].values - dev["min1"]).astype(
+                    np.int32
+                )
+                r2c = (chunk["stBin2"].values - dev["min2"]).astype(
+                    np.int32
+                )
+                dd0c = (
+                    chunk["stBin1"].values - chunk["stBin2"].values
+                ).astype(np.int32)
+                h1c = (
+                    chunk["endBin1"].values - chunk["stBin1"].values
+                ).astype(np.int32)
+                w2c = (
+                    chunk["endBin2"].values - chunk["stBin2"].values
+                ).astype(np.int32)
+                assert (h1c == W).all() and (w2c == W).all()
+                a1 = chunk["anchor_idx1"].to_numpy().astype(np.int64)
+                a2 = chunk["anchor_idx2"].to_numpy().astype(np.int64)
+                isctl = (
+                    chunk["kind"].to_numpy() == "control"
+                ).astype(np.int8)
+                if dual_lut is None:
+                    dual_lut = np.full(
+                        (2, len(self.CC.intervals)), -1, np.int32
+                    )
+                lut = dual_lut
+                for ids in (a1, a2):
+                    for k, kname in ((0, "ROI"), (1, "control")):
+                        sel = ids[isctl == k]
+                        fresh = np.unique(sel[lut[k, sel] < 0])
+                        for u in fresh:
+                            lut[k, u] = ensure_cid(kname, int(u))
+                cid1 = lut[isctl, a1].astype(np.int32)
+                cid2 = lut[isctl, a2].astype(np.int32)
+                zf = np.zeros(n_c, bool)
+                cols["r1"] += [r1c, r1c]
+                cols["r2"] += [r2c, r2c]
+                cols["dd0"] += [dd0c, dd0c]
+                cols["flip"] += [zf, zf]
+                cols["cidl"] += [cid1, cid2]
+                cols["h1"] += [h1c, h1c]
+                cols["w2"] += [w2c, w2c]
+                if self.store_stripes:
+                    roi_c = isctl == 0
+                    cols["roi"] += [roi_c, roi_c]
+                    blk = tuple(
+                        chunk[c].to_numpy()[roi_c]
+                        for c in (
+                            "chrom1", "start1", "end1",
+                            "chrom2", "start2", "end2",
+                        )
+                    )
+                    coord_blocks += [blk, blk]
                 continue
             if extra_cols is not None:
                 for outkey, col in extra_frame_keys.items():
@@ -1325,7 +1383,10 @@ class PileUpper:
             }
             for outkey in extras:
                 pup[outkey] = extras[outkey].get(i, [])
-            key = group if isinstance(group, str) else tuple(group)
+            if isinstance(group, (str, int, np.integer)):
+                key = group
+            else:
+                key = tuple(group)
             outdict[kind][key] = pup
             if emit_expected and kind == "ROI":
                 epup = {
@@ -1351,6 +1412,53 @@ class PileUpper:
             if extra_frame_keys
             else sum_pups
         )
+
+        def _fast_all(pups_iter):
+            """Vectorized 'all' reduction: reduce(sum_pups) builds a
+            pd.Series per merge, which at by-window's tens of thousands of
+            groups cost seconds; summing the stacked planes is exact
+            (same nan_to_num + concat semantics as sum_pups)."""
+            pups_list = list(pups_iter)
+            out = {
+                "data": np.nan_to_num(
+                    np.sum([p["data"] for p in pups_list], axis=0)
+                ),
+                "num": np.sum([p["num"] for p in pups_list], axis=0),
+                "poison": np.sum(
+                    [p["poison"] for p in pups_list], axis=0
+                ),
+                "n": int(sum(p["n"] for p in pups_list)),
+                "cov_start": np.sum(
+                    [p["cov_start"] for p in pups_list], axis=0
+                ),
+                "cov_end": np.sum(
+                    [p["cov_end"] for p in pups_list], axis=0
+                ),
+                "horizontal_stripe": [
+                    s for p in pups_list for s in p["horizontal_stripe"]
+                ],
+                "vertical_stripe": [
+                    s for p in pups_list for s in p["vertical_stripe"]
+                ],
+                "coordinates": [
+                    c for p in pups_list for c in p["coordinates"]
+                ],
+            }
+            return out
+
+        if "all" not in outdict["ROI"] and len(outdict["ROI"]) > 64 and (
+            not extra_frame_keys
+        ):
+            outdict["ROI"]["all"] = _fast_all(outdict["ROI"].values())
+        if (
+            (self.control or emit_expected)
+            and "all" not in outdict["control"]
+            and len(outdict["control"]) > 64
+            and not extra_frame_keys
+        ):
+            outdict["control"]["all"] = _fast_all(
+                outdict["control"].values()
+            )
         if "all" not in outdict["ROI"]:
             outdict["ROI"]["all"] = dict(
                 reduce(sum_func, outdict["ROI"].values(), empty_pup(shape))
@@ -1719,10 +1827,11 @@ class PileUpper:
             )
             roi = arr["roi"]
             sr1, sr2 = arr["r1"][roi], arr["r2"][roi]
-            h = session.run_stripes(sr1, sr2, f16=f16)
-            v = session.run_stripes(sr1, sr2, f16=f16, vertical=True)
-            out["horizontal_stripe"] = h.astype(np.float32)
-            out["vertical_stripe"] = v[:, ::-1].astype(np.float32)
+            hv = session.run_stripes(sr1, sr2, f16=f16, hv=True)
+            out["horizontal_stripe"] = hv[:, :W].astype(np.float32)
+            out["vertical_stripe"] = hv[:, W: 2 * W][:, ::-1].astype(
+                np.float32
+            )
 
     def _chunk_size_for(self, ntot, rescale=False):
         """Fixed pow2 device chunk size (bounded working set, one compiled
@@ -2670,6 +2779,7 @@ class PileUpper:
         postprocess_frame_func=None,
         postprocess_snip_func=None,
         extra_sum_funcs=None,
+        dual_anchor=False,
     ):
         """Run the full pileup over every region pair and normalize
         (reference coolpup.py:1360–1654 counterpart).
@@ -2722,6 +2832,7 @@ class PileUpper:
                 postprocess_snip_func=postprocess_snip_func,
                 extra_sum_funcs=extra_sum_funcs,
                 dev=dev,
+                dual_anchor=dual_anchor,
             )
             if self.checkpoint_dir:
                 os.makedirs(self.checkpoint_dir, exist_ok=True)
@@ -2804,14 +2915,25 @@ class PileUpper:
 
     def pileupsByWindowWithControl(self, nproc=None):
         """One pup per anchor window: every snip contributes to both of its
-        anchors' groups (reference coolpup.py:1696–1756)."""
+        anchors' groups (reference coolpup.py:1696–1756).
+
+        Groups ride the INTEGER anchor id (coords adds ``anchor_idx``):
+        factorizing 2x the snip stream of (chrom, start, end) python
+        tuples dominated by-window walls; the int codes factorize on the
+        numpy fast path and map back to window labels once per group."""
         if self.local:
             raise ValueError("Cannot do by-window pileups for local")
-        pups = self.pileupsWithControl(
-            nproc=nproc, postprocess_frame_func=group_by_region_frame
-        )
+
+        pups = self.pileupsWithControl(nproc=nproc, dual_anchor=True)
+        iv = self.CC.intervals
+        ch = iv["chrom"].to_numpy()
+        st = iv["start"].to_numpy()
+        en = iv["end"].to_numpy()
         anchors = [
-            ("all", -1, -1) if g == "all" else tuple(g) for g in pups["group"]
+            ("all", -1, -1)
+            if g == "all"
+            else (ch[int(g)], int(st[int(g)]), int(en[int(g)]))
+            for g in pups["group"]
         ]
         pups = pups.drop(columns="group")
         pups.insert(0, "end", np.array([a[2] for a in anchors], dtype=int))

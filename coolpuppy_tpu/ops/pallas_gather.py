@@ -248,22 +248,77 @@ def make_stripe_gather(W, B, f16, vertical):
 
     @jax.jit
     def f(ctiles, ntiles, tmap_flat, ncolp, r1, r2):
+        # ROW gather + in-row take_along_axis: whole 128-lane tile rows
+        # gather contiguously (2.8x the elementwise flat gather on TPU —
+        # XLA scalar gathers are slow), then the W-lane window cuts out of
+        # the materialized [n, 2B] rows. Vertical stripes run over the
+        # TRANSPOSED per-tile layout implicitly by gathering tile COLUMNS:
+        # M[a+i, b+mid] — roles of the axes swap.
         mid = W // 2
         if vertical:
-            rr = r1[:, None] + jnp.arange(W, dtype=r1.dtype)[None, :]
-            cc = (r2 + mid)[:, None]
+            anchor = r2 + mid  # fixed column
+            t1 = anchor // B
+            along = r1  # varying row
         else:
-            rr = (r1 + mid)[:, None]
-            cc = r2[:, None] + jnp.arange(W, dtype=r2.dtype)[None, :]
-        tid = jnp.take(tmap_flat, (rr // B) * ncolp + (cc // B))
-        flat = tid * (B * B) + (rr % B) * B + (cc % B)
-        c = jnp.take(ctiles.reshape(-1), flat.reshape(-1)).reshape(
-            flat.shape
+            anchor = r1 + mid  # fixed row
+            t1 = anchor // B
+            along = r2
+        o1 = anchor % B
+        tA = along // B
+        if vertical:
+            kL = jnp.take(tmap_flat, tA * ncolp + t1)
+            kR = jnp.take(tmap_flat, (tA + 1) * ncolp + t1)
+            # column extraction: gather the fixed column's lane from each
+            # tile ROW of the two stacked tiles -> operate on the
+            # transposed per-tile view so the gather stays row-contiguous
+            ct2 = jnp.swapaxes(ctiles, 1, 2).reshape(-1, B)
+            nt2 = jnp.swapaxes(ntiles, 1, 2).reshape(-1, B)
+        else:
+            kL = jnp.take(tmap_flat, t1 * ncolp + tA)
+            kR = jnp.take(tmap_flat, t1 * ncolp + tA + 1)
+            ct2 = ctiles.reshape(-1, B)
+            nt2 = ntiles.reshape(-1, B)
+        rows_c = jnp.concatenate(
+            [
+                jnp.take(ct2, kL * B + o1, axis=0),
+                jnp.take(ct2, kR * B + o1, axis=0),
+            ],
+            axis=1,
+        )  # [n, 2B]
+        rows_n = jnp.concatenate(
+            [
+                jnp.take(nt2, kL * B + o1, axis=0),
+                jnp.take(nt2, kR * B + o1, axis=0),
+            ],
+            axis=1,
         )
-        nv = jnp.take(ntiles.reshape(-1), flat.reshape(-1)).reshape(
-            flat.shape
-        )
+        idx = (along % B)[:, None] + jnp.arange(W, dtype=along.dtype)[
+            None, :
+        ]
+        c = jnp.take_along_axis(rows_c, idx, axis=1)
+        nv = jnp.take_along_axis(rows_n, idx, axis=1)
         out = jnp.where((nv > 0) | jnp.isinf(c), c, jnp.nan)
+        return out.astype(jnp.float16) if f16 else out
+
+    return f
+
+
+@lru_cache(maxsize=32)
+def make_stripe_gather_hv(W, B, f16):
+    """Both orientations fused in one jit: ONE dispatch and ONE [n, 2W]
+    device->host payload per chunk (h = [:, :W], v unreversed =
+    [:, W:])."""
+    import jax
+    import jax.numpy as jnp
+
+    fh = make_stripe_gather(W, B, False, False)
+    fv = make_stripe_gather(W, B, False, True)
+
+    @jax.jit
+    def f(ctiles, ntiles, tmap_flat, ncolp, r1, r2):
+        h = fh(ctiles, ntiles, tmap_flat, ncolp, r1, r2)
+        v = fv(ctiles, ntiles, tmap_flat, ncolp, r1, r2)
+        out = jnp.concatenate([h, v], axis=1)
         return out.astype(jnp.float16) if f16 else out
 
     return f
@@ -564,21 +619,22 @@ class PallasPileupSession:
         return self.finalize([total])
 
     def run_stripes(self, r1, r2, chunk=131072, f16=False,
-                    async_fetch=False, vertical=False):
+                    async_fetch=False, vertical=False, hv=False):
         """Per-snip stripe planes in ORIGINAL stream order (reference
         coolpup.py:1164–1188): horizontal = center row, ``vertical=True`` =
-        center column rows (callers reverse). ONE flat XLA gather per chunk
-        from the session's normalized device stacks (make_stripe_gather) —
-        no kernel pass, no sorting, no transposed stacks.
-        ``async_fetch=True`` starts the device->host copy and returns a
-        handle (.get()), so plane transfers overlap later work."""
+        center column rows (callers reverse), ``hv=True`` = both fused as
+        [n, 2W]. ONE row-wise XLA gather per chunk from the session's
+        normalized device stacks (make_stripe_gather) — no kernel pass, no
+        sorting. ``async_fetch=True`` starts the device->host copy and
+        returns a handle (.get()), so plane transfers overlap later
+        work."""
         import jax.numpy as jnp
 
         B = self.tile_stack.B
         W = int(self.cfg_kw["W"])
         n = len(r1)
         if n == 0:
-            out = np.zeros((0, W), np.float32)
+            out = np.zeros((0, 2 * W if hv else W), np.float32)
             return _LazyPlanes(out) if async_fetch else out
         if not hasattr(self, "_tmap_dev"):
             tm = self.tile_stack.tile_map
@@ -586,7 +642,11 @@ class PallasPileupSession:
                 np.ascontiguousarray(tm.ravel().astype(np.int32))
             )
             self._tmap_ncol = np.int32(tm.shape[1])
-        g = make_stripe_gather(W, B, bool(f16), bool(vertical))
+        g = (
+            make_stripe_gather_hv(W, B, bool(f16))
+            if hv
+            else make_stripe_gather(W, B, bool(f16), bool(vertical))
+        )
         parts = []
         for lo in range(0, n, chunk):
             sl = slice(lo, min(lo + chunk, n))
