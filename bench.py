@@ -731,6 +731,35 @@ def bench_scaling(n_loci=262_144, W=21, seed=0):
     return rates, retention, row_retention, row_mem_frac, pallas_retention
 
 
+def probe_tunnel():
+    """Measure the host<->device link at bench time (8 MB each way): the
+    axon tunnel's bandwidth drifts ~2x between runs, and every staged or
+    fetched byte rides it — recording it makes each bench JSON
+    self-describing about the link it ran over."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).random(2_000_000).astype(np.float32)
+
+    def barrier(arr):
+        # block_until_ready can return early on tunneled arrays; a scalar
+        # device_get is the only reliable completion fence here
+        return float(jax.device_get(jnp.sum(arr)))
+
+    w = jax.device_put(x)
+    barrier(w)  # warm path + compile the sum
+    t0 = time.time()
+    d = jax.device_put(x)
+    barrier(d)
+    up = x.nbytes / 1e6 / max(1e-9, time.time() - t0)
+    y = d * np.float32(1.000001)
+    barrier(y)  # y fully materialized on device before timing the fetch
+    t0 = time.time()
+    np.asarray(y)
+    down = x.nbytes / 1e6 / max(1e-9, time.time() - t0)
+    return round(up, 1), round(down, 1)
+
+
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
     """The reference's per-snip hot loop (coolpup.py:1104–1191): CSR slice ->
     dense, NaN bad rows/cols, diag mask, ooe divide, nansum-accumulate."""
@@ -970,6 +999,7 @@ def main():
 
         # headline: the end-to-end median (honest pipeline number);
         # device_* carries the tunnel-immune kernel-only median
+        up, down = probe_tunnel()
         print(
             json.dumps(
                 {
@@ -982,6 +1012,20 @@ def main():
                         "device": str(jax.devices()[0]),
                         "loci": res["snips"],
                         "window": W,
+                        "tunnel_mbps_up": up,
+                        "tunnel_mbps_down": down,
+                        "accounting_note": (
+                            "e2e now times the FULL fresh-region pipeline "
+                            "per repeat (tile scatter + upload + normalize "
+                            "+ sort + dispatch + fetch, overlapped where "
+                            "possible). Rounds 1-3 timed staging "
+                            "separately with async device_put, so the "
+                            "tile-upload cost (~0.3-0.9 s/region on this "
+                            "tunnel) never appeared in their 1.6-2.1M "
+                            "headlines — those numbers are not comparable. "
+                            "device_only_* is the tunnel-immune kernel "
+                            "rate."
+                        ),
                         "e2e_median_s": round(res["e2e_t"], 3),
                         "e2e_runs_s": res["e2e_times"],
                         "device_only_snips_per_sec": round(
