@@ -371,7 +371,10 @@ class CoordCreator:
             # downstream hooks must assign whole columns, not mutate cells in
             # place (all built-in hooks do)
             intervals2d = intervals2d.copy(deep=False)
-            intervals2d["kind"] = "ROI"
+            intervals2d["kind"] = pd.Categorical.from_codes(
+                np.zeros(len(intervals2d), np.int8),
+                categories=["ROI", "control"],
+            )
             return intervals2d
         if rng is None:
             rng = self._rng("anon")
@@ -416,8 +419,9 @@ class CoordCreator:
                 data[c] = col.to_numpy().take(reps)
             else:
                 data[c] = col.array.take(reps)
-        data["kind"] = np.repeat(
-            np.array(["ROI", "control"], dtype=object), [n, n_ctrl]
+        data["kind"] = pd.Categorical.from_codes(
+            np.repeat(np.array([0, 1], np.int8), [n, n_ctrl]),
+            categories=["ROI", "control"],
         )
         return pd.DataFrame(data)
 
@@ -484,6 +488,7 @@ class CoordCreator:
         control=False,
         groupby=None,
         modify_2Dintervals_func=None,
+        columns=None,
     ):
         """Yield vectorized snip DataFrames for a region (pair).
 
@@ -494,22 +499,51 @@ class CoordCreator:
         groupby = groupby or []
         if self.empty:
             return
+        use = self._column_subset(columns)
         if self.kind == "bedpe":
             yield from self._batches_bedpe(
-                region1, region2, control, groupby, modify_2Dintervals_func
+                region1, region2, control, groupby,
+                modify_2Dintervals_func, use,
             )
         elif self.local:
             yield from self._batches_local(
-                region1, control, groupby, modify_2Dintervals_func
+                region1, control, groupby, modify_2Dintervals_func, use
             )
         elif self.trans:
             yield from self._batches_trans_bed(
-                region1, region2, control, groupby, modify_2Dintervals_func
+                region1, region2, control, groupby,
+                modify_2Dintervals_func, use,
             )
         else:
             yield from self._batches_cis_bed(
-                region1, control, groupby, modify_2Dintervals_func
+                region1, control, groupby, modify_2Dintervals_func, use
             )
+
+    def _column_subset(self, columns):
+        """Resolve a suffixed-column hint (engine fast path) to the BASE
+        interval columns each side must materialize; None -> all columns.
+        Frame assembly is take-per-column — at millions of pairs the
+        untouched feature columns (names, scores, Arrow strings) dominated
+        coordinate-generation time, so the engine hints exactly what its
+        device path reads (VERDICT r3 #1 family: host coordgen was the
+        plain-mode wall)."""
+        if columns is None:
+            return None
+        if self.kind == "bedpe":
+            # bedpe rows already carry suffixed columns
+            base = {
+                c for c in columns
+                if c in self.intervals.columns
+            }
+            base |= {"stBin1", "endBin1", "stBin2", "endBin2"}
+            return [c for c in self.intervals.columns if c in base]
+        base = {
+            c[:-1]
+            for c in columns
+            if c and c[-1] in "12" and c[:-1] in self.intervals.columns
+        }
+        base |= {"stBin", "endBin"}
+        return [c for c in self.intervals.columns if c in base]
 
     def _finalize(self, frame, control, groupby, modify_func, rng):
         frame = self.control_regions(frame, self.nshifts if control else 0, rng=rng)
@@ -518,11 +552,14 @@ class CoordCreator:
         frame = assign_groups(frame, groupby)
         return frame
 
-    def _batches_bedpe(self, region1, region2, control, groupby, modify_func):
+    def _batches_bedpe(self, region1, region2, control, groupby,
+                       modify_func, use=None):
         if self.trans and region2 is not None and region1[0] != region2[0]:
             iv = self.filter_bedpe_trans_pairs(region1, region2)
         else:
             iv = self.filter_bedpe_region(region1)
+        if use is not None:
+            iv = iv[use]
         rng = self._rng((region1, region2))
         for lo in range(0, max(len(iv), 1), self.chunk_size):
             chunk = iv.iloc[lo : lo + self.chunk_size]
@@ -532,10 +569,13 @@ class CoordCreator:
                 chunk.reset_index(drop=True), control, groupby, modify_func, rng
             )
 
-    def _batches_local(self, region1, control, groupby, modify_func):
+    def _batches_local(self, region1, control, groupby, modify_func,
+                       use=None):
         iv = self.filter_bed_region(region1)
         if len(iv) == 0:
             return
+        if use is not None:
+            iv = iv[use]
         merged = pd.merge(
             iv, iv, left_index=True, right_index=True, suffixes=["1", "2"]
         )
@@ -549,7 +589,8 @@ class CoordCreator:
                 rng,
             )
 
-    def _batches_trans_bed(self, region1, region2, control, groupby, modify_func):
+    def _batches_trans_bed(self, region1, region2, control, groupby,
+                           modify_func, use=None):
         left = self.filter_bed_region(region1)
         right = self.filter_bed_region(region2)
         if len(left) == 0 or len(right) == 0:
@@ -560,6 +601,7 @@ class CoordCreator:
         # re-consolidates and re-builds Arrow string buffers per chunk)
         nr = len(right)
         rows_per_chunk = max(1, self.chunk_size // max(nr, 1))
+        cols = list(left.columns) if use is None else use
 
         def raw(df):
             return {
@@ -568,7 +610,7 @@ class CoordCreator:
                     if isinstance(df[c].dtype, np.dtype)
                     else df[c].array
                 )
-                for c in df.columns
+                for c in cols
             }
 
         larrs, rarrs = raw(left), raw(right)
@@ -576,8 +618,8 @@ class CoordCreator:
             nl = min(lo + rows_per_chunk, len(left)) - lo
             li = np.repeat(np.arange(lo, lo + nl), nr)
             ri = np.tile(np.arange(nr), nl)
-            data = {c + "1": larrs[c].take(li) for c in left.columns}
-            data.update({c + "2": rarrs[c].take(ri) for c in right.columns})
+            data = {c + "1": larrs[c].take(li) for c in cols}
+            data.update({c + "2": rarrs[c].take(ri) for c in cols})
             yield self._finalize(
                 pd.DataFrame(data), control, groupby, modify_func, rng
             )
@@ -611,33 +653,33 @@ class CoordCreator:
             return empty, empty
         return np.concatenate(parts_l), np.concatenate(parts_r)
 
-    def _batches_cis_bed(self, region1, control, groupby, modify_func):
+    def _batches_cis_bed(self, region1, control, groupby, modify_func,
+                         use=None):
         iv = self.filter_bed_region(region1)
         n = len(iv)
         if n < 2:
             return
-        left = iv.rename(columns=lambda x: x + "1")
-        right = iv.rename(columns=lambda x: x + "2")
+        cols = list(iv.columns) if use is None else use
         centers = iv["center"].values
         rng = self._rng((region1, None))
         li, ri = self._enumerate_cis_pairs(centers)
+        # raw-array view per column ONCE: Series.take drags index machinery
+        # through every column, and round-tripping Arrow-backed string
+        # columns through numpy object arrays makes pandas re-build the
+        # Arrow buffers per chunk (~1s/M rows each at 20+ columns)
+        arrs = {
+            c: (
+                iv[c].to_numpy()
+                if isinstance(iv[c].dtype, np.dtype)
+                else iv[c].array
+            )
+            for c in cols
+        }
         for lo in range(0, len(li), self.chunk_size):
             ls = li[lo : lo + self.chunk_size]
             rs = ri[lo : lo + self.chunk_size]
-            # raw-array takes into a dict: Series.take drags index machinery
-            # through every column, and round-tripping Arrow-backed string
-            # columns through numpy object arrays makes pandas re-build the
-            # Arrow buffers per chunk (~1s/M rows each at 20+ columns)
-            arrs = {
-                c: (
-                    iv[c].to_numpy()
-                    if isinstance(iv[c].dtype, np.dtype)
-                    else iv[c].array
-                )
-                for c in iv.columns
-            }
-            data = {c + "1": arrs[c].take(ls) for c in iv.columns}
-            data.update({c + "2": arrs[c].take(rs) for c in iv.columns})
+            data = {c + "1": arrs[c].take(ls) for c in cols}
+            data.update({c + "2": arrs[c].take(rs) for c in cols})
             data["distance"] = centers[rs] - centers[ls]
             combo = pd.DataFrame(data)
             yield self._finalize(combo, control, groupby, modify_func, rng)

@@ -41,7 +41,6 @@ from ..lib.puputils import (
     _add_snip,
     collapse_snips,
     empty_pup,
-    group_by_region_frame,
     norm_coverage,
     sum_pups,
 )
@@ -811,6 +810,7 @@ class PileUpper:
         extra_sum_funcs=None,
         dev=None,
         dual_anchor=False,
+        column_hint=None,
     ):
         """Accumulate all snips of one region (pair) on device; returns
         {"ROI": {group: pup}, "control": {...}} (reference
@@ -927,12 +927,30 @@ class PileUpper:
         extra_cols = (
             {k: [] for k in extra_frame_keys} if extra_frame_keys else None
         )
+        if column_hint is not None:
+            # extend the engine's fast-path column hint with what THIS
+            # region's features need; None (user hooks present) keeps all
+            column_hint = set(column_hint)
+            if extra_frame_keys:
+                column_hint |= set(extra_frame_keys.values())
+            if self.store_stripes:
+                column_hint |= {
+                    "chrom1", "start1", "end1",
+                    "chrom2", "start2", "end2",
+                }
+            if dual_anchor:
+                column_hint |= {"anchor_idx1", "anchor_idx2"}
         for chunk in self.CC.batches(
             region1_coords,
             region2_coords if region2 != region1 else None,
             control=self.control,
             groupby=groupby,
             modify_2Dintervals_func=modify_2Dintervals_func,
+            columns=(
+                tuple(sorted(column_hint))
+                if column_hint is not None
+                else None
+            ),
         ):
             if postprocess_frame_func is not None:
                 chunk = postprocess_frame_func(chunk)
@@ -2802,6 +2820,26 @@ class PileUpper:
         flipby = self._resolve_flipby(groupby)
         modify_final = self._compose_modify_func(flipby, modify_2Dintervals_func)
 
+        # coordinate-generation column hint: when every frame transform is
+        # known to the engine, the batch builders materialize only the
+        # columns the device path reads — untouched feature columns
+        # dominated coordgen at millions of pairs
+        import functools as _ft
+
+        user_modify_known = modify_2Dintervals_func is None or (
+            isinstance(modify_2Dintervals_func, _ft.partial)
+            and modify_2Dintervals_func.func is bin_distance_intervals
+        )
+        column_hint = None
+        if (
+            user_modify_known
+            and postprocess_frame_func is None
+            and postprocess_snip_func is None
+        ):
+            column_hint = set(groupby)
+            if flipby:
+                column_hint |= {flipby + "1", flipby + "2"}
+
         # pipeline region ingest (HDF5 -> CSR -> staging) with device compute:
         # the reference's process pool over regions (coolpup.py:1502–1508)
         # becomes prefetch threads feeding one accelerator
@@ -2833,6 +2871,7 @@ class PileUpper:
                 extra_sum_funcs=extra_sum_funcs,
                 dev=dev,
                 dual_anchor=dual_anchor,
+                column_hint=column_hint,
             )
             if self.checkpoint_dir:
                 os.makedirs(self.checkpoint_dir, exist_ok=True)
