@@ -1199,14 +1199,12 @@ class PileUpper:
                     out_total = {k: v[:G] for k, v in merged.items()}
                     if self.store_stripes and stream.stripes:
                         # stripe planes streamed per chunk with async host
-                        # copies (already in stream order)
+                        # copies (already in stream order); f16 stays the
+                        # host dtype until the final table (halves every
+                        # grouping/stacking copy at millions of rows)
                         h, v = stream.stripe_planes()
-                        out_total["horizontal_stripe"] = h.astype(
-                            np.float32
-                        )
-                        out_total["vertical_stripe"] = v[:, ::-1].astype(
-                            np.float32
-                        )
+                        out_total["horizontal_stripe"] = h
+                        out_total["vertical_stripe"] = v[:, ::-1]
                     self._pallas_side_outputs(
                         stream.session,
                         stream.tile_stack,
@@ -1846,10 +1844,8 @@ class PileUpper:
             roi = arr["roi"]
             sr1, sr2 = arr["r1"][roi], arr["r2"][roi]
             hv = session.run_stripes(sr1, sr2, f16=f16, hv=True)
-            out["horizontal_stripe"] = hv[:, :W].astype(np.float32)
-            out["vertical_stripe"] = hv[:, W: 2 * W][:, ::-1].astype(
-                np.float32
-            )
+            out["horizontal_stripe"] = hv[:, :W]
+            out["vertical_stripe"] = hv[:, W: 2 * W][:, ::-1]
 
     def _chunk_size_for(self, ntot, rescale=False):
         """Fixed pow2 device chunk size (bounded working set, one compiled
@@ -2730,6 +2726,10 @@ class PileUpper:
                             stripes = stripes / cstripe
                         if self.local:
                             stripes = _copy_array_halves(stripes)
+                        if stripes.dtype == np.float16:
+                            # device planes ride f16 through the host
+                            # pipeline; the OUTPUT table carries f32
+                            stripes = stripes.astype(np.float32)
                         row[name] = stripes
 
             for key in extra_keys:

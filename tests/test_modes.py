@@ -244,3 +244,41 @@ def test_flip_negative_strand(toy):
         flip_negative_strand=True,
     )
     assert pup["n"].iloc[0] == 6
+
+
+def test_column_hint_matches_full_frames(toy):
+    """The coordgen column hint (engine fast path) must be output-invariant:
+    a no-op USER modify func disables the hint (full frames), and every
+    output must match the hinted run exactly — guards the hint set against
+    future columns the device path starts reading."""
+    clr, dense, weights = toy
+
+    def run(disable_hint):
+        kw = {}
+        if disable_hint:
+            kw["modify_2Dintervals_func"] = lambda f: f
+        cc = CoordCreator(
+            toy_features(), 1_000_000, features_format="bed",
+            flank=3_000_000, mindist=0, nshifts=2, seed=0,
+        )
+        pu = PileUpper(
+            clr, cc, view_df=toy_regions(), control=True, expected=False,
+            store_stripes=True, flip_negative_strand=True,
+        )
+        return pu.pileupsWithControl(**kw)
+
+    a = run(False).set_index("group").loc["all"]
+    b = run(True).set_index("group").loc["all"]
+    assert a["n"] == b["n"] and a["control_n"] == b["control_n"]
+    np.testing.assert_allclose(
+        a["data"], b["data"], rtol=1e-6, atol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["horizontal_stripe"], float),
+        np.asarray(b["horizontal_stripe"], float),
+        rtol=1e-6, atol=1e-12, equal_nan=True,
+    )
+    assert (
+        np.asarray(a["coordinates"], dtype=object)
+        == np.asarray(b["coordinates"], dtype=object)
+    ).all()
