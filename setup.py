@@ -21,6 +21,12 @@ setup(
             "coolpup-tpu = coolpuppy_tpu.cli.coolpup_cli:main",
             "plotpup-tpu = coolpuppy_tpu.cli.plotpup_cli:main",
             "dividepups-tpu = coolpuppy_tpu.cli.dividepups_cli:main",
+            # drop-in aliases matching the reference's script names
+            # (reference setup.py:55-61); do not install alongside the
+            # original coolpuppy
+            "coolpup.py = coolpuppy_tpu.cli.coolpup_cli:main",
+            "plotpup.py = coolpuppy_tpu.cli.plotpup_cli:main",
+            "dividepups.py = coolpuppy_tpu.cli.dividepups_cli:main",
         ]
     },
 )
