@@ -282,3 +282,46 @@ def test_column_hint_matches_full_frames(toy):
         np.asarray(a["coordinates"], dtype=object)
         == np.asarray(b["coordinates"], dtype=object)
     ).all()
+
+
+def test_trans_expected_ooe(toy):
+    """pileup(trans=True, expected_df=...) — trans OOE divides every pixel
+    by the region pair's scalar expected (reference coolpup.py:999–1005,
+    1130–1139)."""
+    from coolpuppy_tpu.expected import expected_trans
+
+    clr, dense, weights = toy
+    exp = expected_trans(clr)
+    # align expected region names with the view (chr1 -> foo, chr2 -> bar)
+    name_of = {"chr1": "foo", "chr2": "bar"}
+    exp = exp.assign(
+        region1=exp["region1"].map(name_of),
+        region2=exp["region2"].map(name_of),
+    )
+    raw = pileup(
+        clr=clr,
+        features=toy_features(),
+        features_format="bed",
+        view_df=toy_regions(),
+        trans=True,
+        flank=2_000_000,
+    )
+    ooe = pileup(
+        clr=clr,
+        features=toy_features(),
+        features_format="bed",
+        view_df=toy_regions(),
+        trans=True,
+        flank=2_000_000,
+        expected_df=exp,
+    )
+    n_raw = int(raw.loc[raw["group"] == "all", "n"].iloc[0])
+    n_ooe = int(ooe.loc[ooe["group"] == "all", "n"].iloc[0])
+    assert n_raw == n_ooe == 9
+    # only one region pair (foo x bar): ooe == raw / scalar expected
+    sub = exp[(exp["region1"] == "foo") & (exp["region2"] == "bar")]
+    scalar = float(sub["balanced.avg"].iloc[0])
+    got = ooe.loc[ooe["group"] == "all", "data"].iloc[0]
+    want = raw.loc[raw["group"] == "all", "data"].iloc[0] / scalar
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8,
+                               equal_nan=True)
