@@ -624,6 +624,68 @@ class CoordCreator:
                 pd.DataFrame(data), control, groupby, modify_func, rng
             )
 
+    # eager pair enumeration above this many estimated pairs would hold
+    # GBs of index arrays; the lazy k-sweep streams chunks with O(chunk)
+    # memory instead (the reference streams pairs one at a time and claims
+    # "no limit", README.md:30 — this is the array-batch analog)
+    LAZY_PAIR_THRESHOLD = 32_000_000
+
+    def _count_cis_pairs(self, centers):
+        """Exact in-band pair count for SORTED centers, O(n log n)."""
+        n = len(centers)
+        maxd = float(self.maxdist) if np.isfinite(self.maxdist) else np.inf
+        idx = np.arange(n)
+        if np.isfinite(maxd):
+            hi = np.searchsorted(centers, centers + maxd, side="right")
+        else:
+            hi = np.full(n, n)
+        lo = np.searchsorted(centers, centers + float(self.mindist),
+                             side="left")
+        return int(np.maximum(hi - np.maximum(lo, idx + 1), 0).sum())
+
+    def _iter_cis_pair_chunks(self, centers):
+        """Yield (li, ri) pair-index chunks of exactly ``chunk_size`` (last
+        partial) in the canonical k-superdiagonal order. Small streams come
+        from the eager enumeration (native C++ sweep); large ones stream
+        lazily per k-diagonal with bounded memory. Both produce the
+        IDENTICAL global sequence and therefore identical chunk boundaries
+        — the keyed control RNG draws per chunk, so boundaries are part of
+        the reproducibility contract."""
+        n = len(centers)
+        centers_sorted = bool(np.all(np.diff(centers) >= 0))
+        if (
+            not centers_sorted
+            or self._count_cis_pairs(centers) <= self.LAZY_PAIR_THRESHOLD
+        ):
+            li, ri = self._enumerate_cis_pairs(centers)
+            for lo in range(0, len(li), self.chunk_size):
+                yield (
+                    li[lo : lo + self.chunk_size],
+                    ri[lo : lo + self.chunk_size],
+                )
+            return
+        maxd = float(self.maxdist) if np.isfinite(self.maxdist) else 1e300
+        buf_l, buf_r, buffered = [], [], 0
+        for k in range(1, n):
+            li = np.arange(0, n - k)
+            d = centers[li + k] - centers[li]
+            if d.min() > maxd:
+                break
+            keep = (self.mindist <= np.abs(d)) & (np.abs(d) <= maxd)
+            if keep.any():
+                buf_l.append(li[keep])
+                buf_r.append(li[keep] + k)
+                buffered += int(keep.sum())
+            while buffered >= self.chunk_size:
+                ls = np.concatenate(buf_l)
+                rs = np.concatenate(buf_r)
+                yield ls[: self.chunk_size], rs[: self.chunk_size]
+                buf_l = [ls[self.chunk_size :]]
+                buf_r = [rs[self.chunk_size :]]
+                buffered = len(buf_l[0])
+        if buffered:
+            yield np.concatenate(buf_l), np.concatenate(buf_r)
+
     def _enumerate_cis_pairs(self, centers):
         """All (li, ri) index pairs with |center[ri]-center[li]| in the
         distance band, in k-superdiagonal order with early termination on
@@ -662,7 +724,6 @@ class CoordCreator:
         cols = list(iv.columns) if use is None else use
         centers = iv["center"].values
         rng = self._rng((region1, None))
-        li, ri = self._enumerate_cis_pairs(centers)
         # raw-array view per column ONCE: Series.take drags index machinery
         # through every column, and round-tripping Arrow-backed string
         # columns through numpy object arrays makes pandas re-build the
@@ -675,9 +736,7 @@ class CoordCreator:
             )
             for c in cols
         }
-        for lo in range(0, len(li), self.chunk_size):
-            ls = li[lo : lo + self.chunk_size]
-            rs = ri[lo : lo + self.chunk_size]
+        for ls, rs in self._iter_cis_pair_chunks(centers):
             data = {c + "1": arrs[c].take(ls) for c in cols}
             data.update({c + "2": arrs[c].take(rs) for c in cols})
             data["distance"] = centers[rs] - centers[ls]

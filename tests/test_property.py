@@ -121,3 +121,69 @@ def test_native_pair_enumeration_matches_numpy():
         coords_mod._native_enumerate_pairs = saved
     np.testing.assert_array_equal(li_n, li_p)
     np.testing.assert_array_equal(ri_n, ri_p)
+
+
+def test_lazy_pair_chunks_match_eager():
+    """The lazy k-sweep pair stream must produce the IDENTICAL chunk
+    sequence as the eager enumeration (chunk boundaries feed the keyed
+    control RNG — reproducibility contract), with bounded memory."""
+    import numpy as np
+    import pandas as pd
+
+    from coolpuppy_tpu.coords import CoordCreator
+
+    rng = np.random.default_rng(7)
+    centers = np.sort(rng.choice(200_000_000, 800, replace=False)).astype(
+        float
+    )
+    feats = pd.DataFrame(
+        {"chrom": "chr1", "start": centers - 500, "end": centers + 500}
+    )
+    cc = CoordCreator(
+        feats, 10_000, features_format="bed", flank=50_000,
+        mindist=150_000, maxdist=30_000_000, nshifts=0, chunk_size=4096,
+    )
+    c = cc.intervals["center"].values
+    eager = list(cc._iter_cis_pair_chunks(c))
+    saved = CoordCreator.LAZY_PAIR_THRESHOLD
+    CoordCreator.LAZY_PAIR_THRESHOLD = 0  # force the lazy sweep
+    try:
+        lazy = list(cc._iter_cis_pair_chunks(c))
+    finally:
+        CoordCreator.LAZY_PAIR_THRESHOLD = saved
+    assert len(eager) == len(lazy) > 1
+    for (a1, a2), (b1, b2) in zip(eager, lazy):
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(a2, b2)
+    # count estimator matches the materialized total
+    total = sum(len(a) for a, _ in eager)
+    assert cc._count_cis_pairs(c) == total
+
+
+def test_lazy_pair_pileup_identical(tmp_path):
+    """pileup() output must be identical whichever enumeration ran
+    (controls included — RNG draws align through chunk boundaries)."""
+    import numpy as np
+    import pandas as pd
+
+    from coolpuppy_tpu import pileup
+    from coolpuppy_tpu.coords import CoordCreator
+
+    clr, dense, weights = make_toy_cooler(str(tmp_path / "lz.cool"), seed=5)
+    feats = toy_features()
+    kw = dict(
+        features_format="bed", view_df=toy_regions(), mindist=0,
+        flank=2_000_000, nshifts=2, seed=3,
+    )
+    a = pileup(clr, feats, **kw)
+    saved = CoordCreator.LAZY_PAIR_THRESHOLD
+    CoordCreator.LAZY_PAIR_THRESHOLD = 0
+    try:
+        b = pileup(clr, feats, **kw)
+    finally:
+        CoordCreator.LAZY_PAIR_THRESHOLD = saved
+    ra = a[a["group"] == "all"].iloc[0]
+    rb = b[b["group"] == "all"].iloc[0]
+    assert int(ra["n"]) == int(rb["n"])
+    assert int(ra["control_n"]) == int(rb["control_n"])
+    np.testing.assert_allclose(ra["data"], rb["data"], equal_nan=True)
