@@ -530,12 +530,14 @@ class CoordCreator:
         if columns is None:
             return None
         if self.kind == "bedpe":
-            # bedpe rows already carry suffixed columns
+            # bedpe rows already carry suffixed columns; 'distance' is a
+            # stored column here (the cis-bed builder synthesizes it), so
+            # by-distance grouping needs it retained
             base = {
                 c for c in columns
                 if c in self.intervals.columns
             }
-            base |= {"stBin1", "endBin1", "stBin2", "endBin2"}
+            base |= {"stBin1", "endBin1", "stBin2", "endBin2", "distance"}
             return [c for c in self.intervals.columns if c in base]
         base = {
             c[:-1]

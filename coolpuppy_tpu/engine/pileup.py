@@ -41,6 +41,7 @@ from ..lib.puputils import (
     _add_snip,
     collapse_snips,
     empty_pup,
+    group_by_region_frame,
     norm_coverage,
     sum_pups,
 )
@@ -793,7 +794,11 @@ class PileUpper:
         ctx = timers.phase("ingest") if timers else contextlib.nullcontext()
         with ctx:
             if self.rescale:
-                Hmax = _next_pow2(self.max_extent_bins)
+                # per-bin vectors must cover the LARGEST extent bucket's
+                # window slices: the device restack floors buckets at 128
+                # (B0), so Hmax alone under-padded small regions (slice
+                # overrun on toy-sized views)
+                Hmax = max(128, _next_pow2(self.max_extent_bins))
                 return self._region_device_inputs(
                     region1, region2, minpad=Hmax + 8
                 )
@@ -1008,7 +1013,8 @@ class PileUpper:
                 w2c = (
                     chunk["endBin2"].values - chunk["stBin2"].values
                 ).astype(np.int32)
-                assert (h1c == W).all() and (w2c == W).all()
+                if not self.rescale:
+                    assert (h1c == W).all() and (w2c == W).all()
                 a1 = chunk["anchor_idx1"].to_numpy().astype(np.int64)
                 a2 = chunk["anchor_idx2"].to_numpy().astype(np.int64)
                 isctl = (
@@ -1027,11 +1033,16 @@ class PileUpper:
                             lut[k, u] = ensure_cid(kname, int(u))
                 cid1 = lut[isctl, a1].astype(np.int32)
                 cid2 = lut[isctl, a2].astype(np.int32)
-                zf = np.zeros(n_c, bool)
+                if "flip" in chunk.columns:
+                    # flip_negative_strand marks ride through to the
+                    # flip-bank accumulation like every other mode
+                    flip_c = chunk["flip"].values.astype(bool)
+                else:
+                    flip_c = np.zeros(n_c, bool)
                 cols["r1"] += [r1c, r1c]
                 cols["r2"] += [r2c, r2c]
                 cols["dd0"] += [dd0c, dd0c]
-                cols["flip"] += [zf, zf]
+                cols["flip"] += [flip_c, flip_c]
                 cols["cidl"] += [cid1, cid2]
                 cols["h1"] += [h1c, h1c]
                 cols["w2"] += [w2c, w2c]
@@ -2963,17 +2974,30 @@ class PileUpper:
         if self.local:
             raise ValueError("Cannot do by-window pileups for local")
 
-        pups = self.pileupsWithControl(nproc=nproc, dual_anchor=True)
-        iv = self.CC.intervals
-        ch = iv["chrom"].to_numpy()
-        st = iv["start"].to_numpy()
-        en = iv["end"].to_numpy()
-        anchors = [
-            ("all", -1, -1)
-            if g == "all"
-            else (ch[int(g)], int(st[int(g)]), int(en[int(g)]))
-            for g in pups["group"]
-        ]
+        if self.CC.kind == "bed" and not self.rescale:
+            pups = self.pileupsWithControl(nproc=nproc, dual_anchor=True)
+            iv = self.CC.intervals
+            ch = iv["chrom"].to_numpy()
+            st = iv["start"].to_numpy()
+            en = iv["end"].to_numpy()
+            anchors = [
+                ("all", -1, -1)
+                if g == "all"
+                else (ch[int(g)], int(st[int(g)]), int(en[int(g)]))
+                for g in pups["group"]
+            ]
+        else:
+            # bedpe rows have no shared anchor index, and rescale's
+            # variable-extent windows don't fit the dual-anchor fast path —
+            # use the frame-duplication postprocess (reference
+            # group_by_region, puputils.py:218-223) with tuple groups
+            pups = self.pileupsWithControl(
+                nproc=nproc, postprocess_frame_func=group_by_region_frame
+            )
+            anchors = [
+                ("all", -1, -1) if g == "all" else tuple(g)
+                for g in pups["group"]
+            ]
         pups = pups.drop(columns="group")
         pups.insert(0, "end", np.array([a[2] for a in anchors], dtype=int))
         pups.insert(0, "start", np.array([a[1] for a in anchors], dtype=int))

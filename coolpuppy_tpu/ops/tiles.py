@@ -649,7 +649,6 @@ def normalize_tiles_device(
     import jax.numpy as jnp
 
     K_pad = int(tiles_dev.shape[0])
-    K1 = int(tile_map.max()) + 1
     tr = np.zeros(K_pad, np.int32)
     tc = np.zeros(K_pad, np.int32)
     gr, gc = np.nonzero(tile_map)
@@ -676,9 +675,9 @@ def normalize_tiles_device(
         B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
     )
     v1d, v2d, ed = jax.device_put((v1, v2, epad))
+    # K_pad is pow2, slab 1024: slab sizes are a bounded set of pow2
+    # shapes (<=1024), each a persistently-cached XLA compile
     slab = min(slab, K_pad)
-    kpad = -(-K_pad // slab) * slab
-    # K_pad is pow2 and slab 1024: kpad == K_pad except tiny stacks
     cparts, nparts = [], []
     for lo in range(0, K_pad, slab):
         hi = min(lo + slab, K_pad)
@@ -690,7 +689,6 @@ def normalize_tiles_device(
     zero = jnp.zeros((1, B, B), jnp.float32)
     ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
     ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
-    _ = K1
     return ctiles, ntiles
 
 

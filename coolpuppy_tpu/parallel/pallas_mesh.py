@@ -368,7 +368,6 @@ class PallasMeshSession:
             W, B, bool(f16), bool(vertical), mesh, self.part is not None
         )
         shard = NamedSharding(mesh, P("loci"))
-        Mpad = self.tile_maps.shape[1]
         tmap = np.ascontiguousarray(
             np.asarray(self.tile_maps, np.int32)
         )

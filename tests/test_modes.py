@@ -325,3 +325,112 @@ def test_trans_expected_ooe(toy):
     want = raw.loc[raw["group"] == "all", "data"].iloc[0] / scalar
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8,
                                equal_nan=True)
+
+
+def test_by_window_flip_negative_strand(toy):
+    """dual-anchor by-window must honor flip_negative_strand (round-4
+    regression: the fast path zeroed the flip column) — outputs must match
+    the frame-duplication path exactly."""
+    clr, dense, weights = toy
+    feats = toy_features()
+
+    def build():
+        cc = CoordCreator(
+            feats, 1_000_000, features_format="bed", flank=2_000_000,
+            mindist=0, nshifts=0,
+        )
+        return PileUpper(
+            clr, cc, view_df=toy_regions(), expected=False,
+            flip_negative_strand=True,
+        )
+
+    via_dual = build().pileupsByWindowWithControl()
+    from coolpuppy_tpu.lib.puputils import group_by_region_frame
+
+    ref = build().pileupsWithControl(
+        postprocess_frame_func=group_by_region_frame
+    )
+    ref_map = {
+        tuple(g): d
+        for g, d in zip(ref["group"], ref["data"])
+        if g != "all"
+    }
+    body = via_dual[via_dual["chrom"] != "all"]
+    assert len(body) == len(ref_map) > 0
+    for _, row in body.iterrows():
+        key = (row["chrom"], row["start"], row["end"])
+        np.testing.assert_allclose(
+            row["data"], ref_map[key], rtol=1e-6, atol=1e-12,
+            equal_nan=True, err_msg=str(key),
+        )
+    # flipping must actually change something for stranded features
+    cc2 = CoordCreator(
+        feats, 1_000_000, features_format="bed", flank=2_000_000,
+        mindist=0, nshifts=0,
+    )
+    noflip = PileUpper(
+        clr, cc2, view_df=toy_regions(), expected=False
+    ).pileupsByWindowWithControl()
+    b1 = via_dual[via_dual["chrom"] != "all"]
+    b2 = noflip[noflip["chrom"] != "all"]
+    diffs = [
+        np.nanmax(np.abs(np.asarray(x) - np.asarray(y)))
+        for x, y in zip(b1["data"], b2["data"])
+    ]
+    assert max(diffs) > 0
+
+
+def test_bedpe_by_distance_and_by_window(toy):
+    """bedpe + by_distance (round-4 regression: the column hint dropped
+    the stored 'distance' column) and bedpe + by_window (frame fallback)."""
+    clr, dense, weights = toy
+    feats = pd.DataFrame(
+        {
+            "chrom1": ["chr1", "chr1", "chr1"],
+            "start1": [102_000_000, 102_000_000, 105_000_000],
+            "end1": [102_500_000, 102_500_000, 105_500_000],
+            "chrom2": ["chr1", "chr1", "chr1"],
+            "start2": [105_000_000, 108_000_000, 110_000_000],
+            "end2": [105_500_000, 108_500_000, 110_500_000],
+        }
+    )
+    cc = CoordCreator(
+        feats, 1_000_000, features_format="bedpe", flank=2_000_000,
+        mindist=0, nshifts=0,
+    )
+    pu = PileUpper(clr, cc, view_df=toy_regions(), expected=False)
+    by_dist = pu.pileupsByDistanceWithControl(
+        distance_edges=[0, 4_000_000, 1_000_000_000]
+    )
+    body = by_dist[by_dist["separation"] != "all"]
+    assert body["n"].sum() == 3
+
+    cc2 = CoordCreator(
+        feats, 1_000_000, features_format="bedpe", flank=2_000_000,
+        mindist=0, nshifts=0,
+    )
+    pu2 = PileUpper(clr, cc2, view_df=toy_regions(), expected=False)
+    by_win = pu2.pileupsByWindowWithControl()
+    wins = by_win[by_win["chrom"] != "all"]
+    # anchors {102, 105, 108, 110} Mb -> 4 unique windows, 6 snip slots
+    assert len(wins) == 4
+    assert wins["n"].sum() == 6
+
+
+def test_by_window_rescale(toy):
+    """by_window + rescale (round-4 regression: UnboundLocalError on W and
+    a fixed-window assert in the dual-anchor path)."""
+    clr, dense, weights = toy
+    feats = toy_features()
+    cc = CoordCreator(
+        feats, 1_000_000, features_format="bed", rescale_flank=1,
+        mindist=0, nshifts=0,
+    )
+    pu = PileUpper(
+        clr, cc, view_df=toy_regions(), expected=False, rescale=True,
+        rescale_size=33,
+    )
+    pups = pu.pileupsByWindowWithControl()
+    body = pups[pups["chrom"] != "all"]
+    assert len(body) > 0
+    assert body["data"].iloc[0].shape == (33, 33)
