@@ -267,9 +267,19 @@ class CoordCreator:
         if self.kind == "bed":
             # stable integer anchor id: lets by-window grouping ride int
             # group codes instead of 14M python (chrom, start, end) tuples
-            # (engine pileupsByWindowWithControl)
+            # (engine pileupsByWindowWithControl). DUPLICATE intervals
+            # share one id — by-window must merge them into one window
+            # group (reference group_by_region keys on the coordinates)
+            key = (
+                self.intervals["chrom"].astype(str)
+                + ":"
+                + self.intervals["start"].astype(str)
+                + "-"
+                + self.intervals["end"].astype(str)
+            )
+            codes, _ = pd.factorize(key)
             self.intervals = self.intervals.assign(
-                anchor_idx=np.arange(len(self.intervals), dtype=np.int64)
+                anchor_idx=codes.astype(np.int64)
             )
 
     def bedpe2bed(self, df, ends=True, how="center"):

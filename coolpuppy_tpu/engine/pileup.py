@@ -71,14 +71,22 @@ def _next_pow2(x):
     return 1 << max(0, int(np.ceil(np.log2(max(1, int(x))))))
 
 
-def _stack_fetch(outs):
-    """Stack same-structure device dicts along a new axis ON DEVICE and
-    materialize with one device->host fetch per key (not per block)."""
-    import jax
-    import jax.numpy as jnp
+_STAGE_POOL = None
 
-    stacked = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
-    return {k: jax.device_get(v) for k, v in stacked.items()}
+
+def _stage_pool():
+    """Process-wide single worker for pallas session builds (the tile
+    scatter releases the GIL; one chip means builds serialize anyway). A
+    per-PileUpper executor leaked an idle thread + its last build's
+    references per instance."""
+    global _STAGE_POOL
+    if _STAGE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _STAGE_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="pallas-stage"
+        )
+    return _STAGE_POOL
 
 
 def _stack_merge_fetch(outs, half):
@@ -175,7 +183,6 @@ class _PallasStream:
         self.stripes = stripes
         self.stripe_f16 = stripe_f16
         self._stripe_h = []
-        self._stripe_v = []
         # stripe planes only exist for ROI snips (control planes never
         # reach the output, reference coolpup.py:1533–1625) — they buffer
         # and dispatch independently of the sum/num stream
@@ -350,7 +357,9 @@ class PileUpper:
         self.ignore_diags = ignore_diags
         self.store_stripes = store_stripes
         # float16 stripe-plane transfer (device->host) — the dominant
-        # payload of stripes mode; set False for full-precision planes
+        # payload of stripes mode; set False for full-precision planes.
+        # Effective only for balanced / OOE-normalized values: RAW counts
+        # on deep maps can exceed float16's 65504 max (overflow -> inf)
         self.stripe_f16 = stripe_f16
         self.nproc = nproc
         self.chunk_size = int(chunk_size)
@@ -577,6 +586,14 @@ class PileUpper:
             cis=(not self.trans) and (region1 == region2),
         )
 
+    def _stripe_f16_effective(self):
+        """f16 stripe transfer only when plane values are bounded:
+        balancing weights or expected normalization keep them O(1-100);
+        raw counts on deep maps can exceed float16's 65504 max."""
+        if not bool(getattr(self, "stripe_f16", True)):
+            return False
+        return bool(self.clr_weight_name) or bool(self.expected)
+
     def _window_bins(self):
         """Window size in bins for the non-rescaled path (reference
         make_outmap, coolpup.py:1007–1022)."""
@@ -748,22 +765,15 @@ class PileUpper:
         # GIL, so it genuinely overlaps the coordinate generation that
         # starts immediately (VERDICT r3 #1 — host tile-build sat on the
         # critical path between staging and the first kernel dispatch)
-        if not hasattr(self, "_session_pool"):
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._session_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="pallas-stage"
-            )
         # same call length as run_segment's packed dispatch so both paths
         # share one compiled kernel shape per window size
         chunk = 256 if interpret else 131072
         stream = _PallasStream(
-            self._session_pool.submit(build),
+            _stage_pool().submit(build),
             half,
             chunk,
             stripes=bool(self.store_stripes),
-            stripe_f16=bool(getattr(self, "stripe_f16", True))
-            and not interpret,
+            stripe_f16=self._stripe_f16_effective() and not interpret,
         )
         stream.covers = covers
         return stream
@@ -1589,6 +1599,33 @@ class PileUpper:
             bounds = np.searchsorted(
                 sorted_cid, np.arange(0, G + half, half)
             )
+            out = None
+
+            def flush(block_outs):
+                nonlocal out
+                stacked = _stack_merge_fetch(
+                    tuple(o for _, o in block_outs), half
+                )
+                for i, (base, _) in enumerate(block_outs):
+                    merged = {
+                        k: np.asarray(v[i], np.float64)
+                        for k, v in stacked.items()
+                    }
+                    merged["poison"] = np.isinf(merged["sum"]).astype(
+                        np.float64
+                    )
+                    if out is None:
+                        out = {
+                            k: np.zeros((G,) + v.shape[1:], v.dtype)
+                            for k, v in merged.items()
+                        }
+                    span = min(half, G - base)
+                    for k, v in merged.items():
+                        out[k][base : base + span] = v[:span]
+
+            # flush every 64 blocks: keeps the async-dispatch + stacked-
+            # fetch win while bounding live device accumulators (huge G at
+            # large W would otherwise hold O(G) accumulator memory)
             block_outs = []
             for bi in range(len(bounds) - 1):
                 lo_s, hi_s = int(bounds[bi]), int(bounds[bi + 1])
@@ -1604,26 +1641,11 @@ class PileUpper:
                     chunk=chunk, fetch=False,
                 )
                 block_outs.append((base, dev_total))
-            stacked = _stack_merge_fetch(
-                tuple(o for _, o in block_outs), half
-            )
-            out = None
-            for i, (base, _) in enumerate(block_outs):
-                merged = {
-                    k: np.asarray(v[i], np.float64)
-                    for k, v in stacked.items()
-                }
-                merged["poison"] = np.isinf(merged["sum"]).astype(
-                    np.float64
-                )
-                if out is None:
-                    out = {
-                        k: np.zeros((G,) + v.shape[1:], v.dtype)
-                        for k, v in merged.items()
-                    }
-                span = min(half, G - base)
-                for k, v in merged.items():
-                    out[k][base : base + span] = v[:span]
+                if len(block_outs) >= 64:
+                    flush(block_outs)
+                    block_outs = []
+            if block_outs:
+                flush(block_outs)
 
         self._pallas_side_outputs(
             session, tile_stack, dev, arr, ntot, W, G, emit_expected,
@@ -1759,24 +1781,24 @@ class PileUpper:
             # per-snip sharded stripe output via the flat stripe gather per
             # device (VERDICT r3 #2: mesh+stripes no longer bail to XLA);
             # vertical rows gather the center column and are reversed below
-            f16 = bool(getattr(self, "stripe_f16", True)) and not interpret
+            f16 = self._stripe_f16_effective() and not interpret
             roi = arr["roi"]
             # roi-only global position of each stream row
             pos = np.cumsum(roi) - 1
             items_roi = [items[roi[items]] for items in dev_items]
             r1_rows = [arr["r1"][it] for it in items_roi]
             r2_rows = [arr["r2"][it] for it in items_roi]
-            h_rows = session.run_stripes(r1_rows, r2_rows, f16=f16)
-            v_rows = session.run_stripes(
-                r1_rows, r2_rows, vertical=True, f16=f16
+            # one fused hv pass: single dispatch + single [.., 2W] payload
+            hv_rows = session.run_stripes(
+                r1_rows, r2_rows, mode="hv", f16=f16
             )
             n_roi = int(roi.sum())
             stripes_h = np.full((n_roi, W), np.nan, np.float32)
             stripes_v = np.full((n_roi, W), np.nan, np.float32)
             for d, it in enumerate(items_roi):
                 if len(it):
-                    stripes_h[pos[it]] = h_rows[d]
-                    stripes_v[pos[it]] = v_rows[d][:, ::-1]
+                    stripes_h[pos[it]] = hv_rows[d][:, :W]
+                    stripes_v[pos[it]] = hv_rows[d][:, W:][:, ::-1]
             out["horizontal_stripe"] = stripes_h
             out["vertical_stripe"] = stripes_v
         return out
@@ -1849,7 +1871,7 @@ class PileUpper:
             # the reference (coolpup.py:1164–1188).
             # f16 device->host transfer (VERDICT r3 #2) halves the dominant
             # stripe payload; planes upcast to f32 for the host pipeline
-            f16 = bool(getattr(self, "stripe_f16", True)) and (
+            f16 = self._stripe_f16_effective() and (
                 self.backend != "pallas-interpret"
             )
             roi = arr["roi"]
@@ -2820,7 +2842,12 @@ class PileUpper:
         list, or a generator) and ``extra_sum_funcs`` accumulates extra
         per-snip values into output columns — providing either of the last
         two routes the affected regions through the per-snip host path
-        (stream_snips)."""
+        (stream_snips).
+
+        NOTE: combining ``groupby`` with ``extra_sum_funcs`` inherits the
+        reference's sum_pups quirk (reference lib/puputils.py:110–112:
+        extra funcs REPLACE the merged pup), so the 'all' row carries only
+        the extras — read the per-group rows. Replicated for parity."""
         groupby = groupby or []
         self.ignore_group_order = ignore_group_order
         if nproc is None:
@@ -2977,13 +3004,17 @@ class PileUpper:
         if self.CC.kind == "bed" and not self.rescale:
             pups = self.pileupsWithControl(nproc=nproc, dual_anchor=True)
             iv = self.CC.intervals
+            codes = iv["anchor_idx"].to_numpy()
+            _, first = np.unique(codes, return_index=True)
             ch = iv["chrom"].to_numpy()
             st = iv["start"].to_numpy()
             en = iv["end"].to_numpy()
+            lab = {
+                int(codes[i]): (ch[i], int(st[i]), int(en[i]))
+                for i in first
+            }
             anchors = [
-                ("all", -1, -1)
-                if g == "all"
-                else (ch[int(g)], int(st[int(g)]), int(en[int(g)]))
+                ("all", -1, -1) if g == "all" else lab[int(g)]
                 for g in pups["group"]
             ]
         else:
@@ -3112,6 +3143,7 @@ def pileup(
     rescale_flank=1,
     rescale_size=99,
     store_stripes=False,
+    stripe_f16=True,
     nproc=1,
     seed=None,
     mesh=None,
@@ -3221,6 +3253,7 @@ def pileup(
         flip_negative_strand=flip_negative_strand,
         ignore_diags=min_diag,
         store_stripes=store_stripes,
+        stripe_f16=stripe_f16,
         nproc=nproc,
         mesh=mesh,
         backend=backend,

@@ -146,7 +146,7 @@ def make_sharded_pallas_step(cfg: PallasGatherConfig, mesh, tiles_sharded):
 
 
 @lru_cache(maxsize=32)
-def make_sharded_stripe_gather_step(W, B, f16, vertical, mesh,
+def make_sharded_stripe_gather_step(W, B, f16, mode, mesh,
                                     tiles_sharded):
     """shard_map of the flat stripe gather
     (ops/pallas_gather.make_stripe_gather) over "loci": each device
@@ -160,10 +160,16 @@ def make_sharded_stripe_gather_step(W, B, f16, vertical, mesh,
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.pallas_gather import make_stripe_gather
+    from ..ops.pallas_gather import (
+        make_stripe_gather,
+        make_stripe_gather_hv,
+    )
     from .mesh import _shard_map
 
-    core = make_stripe_gather(W, B, f16, vertical)
+    if mode == "hv":
+        core = make_stripe_gather_hv(W, B, f16)
+    else:
+        core = make_stripe_gather(W, B, f16, mode == "v")
 
     def local(r1, r2, tmap, ncolp, ctiles, ntiles):
         ct = ctiles[0] if tiles_sharded else ctiles
@@ -346,13 +352,14 @@ class PallasMeshSession:
             )
         return total
 
-    def run_stripes(self, r1_rows, r2_rows, vertical=False, f16=False,
+    def run_stripes(self, r1_rows, r2_rows, mode="hv", f16=False,
                     chunk=131072):
         """Per-snip stripe planes on the mesh: each device runs the flat
         stripe gather over its routed snips against its own (banded + halo,
         or replicated) stacks; ONE stacked fetch, rows already in the order
-        of ``r1_rows[d]``. Returns a list of [len(r1_rows[d]), W] arrays.
-        ``vertical=True`` gathers the center column (callers reverse)."""
+        of ``r1_rows[d]``. Returns a list of [len(r1_rows[d]), Wout]
+        arrays, Wout = 2W for the default fused ``mode="hv"`` (h then
+        unreversed v: one dispatch, one payload) or W for "h"/"v"."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -361,17 +368,22 @@ class PallasMeshSession:
         n = int(mesh.shape["loci"])
         B = self.B
         W = int(self.cfg_kw["W"])
+        Wout = 2 * W if mode == "hv" else W
         maxlen = max((len(r) for r in r1_rows), default=0)
         if maxlen == 0:
-            return [np.zeros((0, W), np.float32) for _ in range(n)]
+            return [np.zeros((0, Wout), np.float32) for _ in range(n)]
         step = make_sharded_stripe_gather_step(
-            W, B, bool(f16), bool(vertical), mesh, self.part is not None
+            W, B, bool(f16), str(mode), mesh, self.part is not None
         )
         shard = NamedSharding(mesh, P("loci"))
-        tmap = np.ascontiguousarray(
-            np.asarray(self.tile_maps, np.int32)
-        )
-        tmap_dev = jax.device_put(tmap, shard)
+        if not hasattr(self, "_tmap_dev"):
+            self._tmap_dev = jax.device_put(
+                np.ascontiguousarray(
+                    np.asarray(self.tile_maps, np.int32)
+                ),
+                shard,
+            )
+        tmap_dev = self._tmap_dev
         ncolp = np.int32(self.ncolp)
         S = min(chunk, max(64, _ceil_pow2(maxlen)))
         call_planes = []
@@ -396,7 +408,7 @@ class PallasMeshSession:
         out_rows = []
         for d in range(n):
             nd = len(r1_rows[d])
-            rows = planes[d].reshape(-1, W)[:nd]
+            rows = planes[d].reshape(-1, Wout)[:nd]
             out_rows.append(rows)
         return out_rows
 

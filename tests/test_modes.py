@@ -434,3 +434,35 @@ def test_by_window_rescale(toy):
     body = pups[pups["chrom"] != "all"]
     assert len(body) > 0
     assert body["data"].iloc[0].shape == (33, 33)
+
+
+def test_by_window_duplicate_intervals(toy):
+    """Duplicate BED intervals must merge into ONE window group (the
+    reference's group_by_region keys on coordinates; round-4's per-row
+    anchor ids split them)."""
+    clr, dense, weights = toy
+    feats = toy_features()
+    dup = pd.concat([feats, feats.iloc[[0]]], ignore_index=True)
+    cc = CoordCreator(
+        dup, 1_000_000, features_format="bed", flank=2_000_000,
+        mindist=0, nshifts=0,
+    )
+    pu = PileUpper(clr, cc, view_df=toy_regions(), expected=False)
+    pups = pu.pileupsByWindowWithControl()
+    body = pups[pups["chrom"] != "all"]
+    keys = list(zip(body["chrom"], body["start"], body["end"]))
+    assert len(keys) == len(set(keys)), "duplicate window rows"
+    # the duplicated anchor's window accumulates BOTH copies' snips
+    base_cc = CoordCreator(
+        feats, 1_000_000, features_format="bed", flank=2_000_000,
+        mindist=0, nshifts=0,
+    )
+    base_pu = PileUpper(clr, base_cc, view_df=toy_regions(), expected=False)
+    base = base_pu.pileupsByWindowWithControl()
+    base_body = base[base["chrom"] != "all"]
+    k0 = (feats["chrom"].iloc[0],)
+    dup_row = body[body["start"] == body["start"].min()].iloc[0]
+    base_row = base_body[
+        base_body["start"] == base_body["start"].min()
+    ].iloc[0]
+    assert dup_row["n"] > base_row["n"]
