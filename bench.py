@@ -209,40 +209,23 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=5):
     # -- end-to-end: fresh-region pipeline with stage/sort overlap --------
     from concurrent.futures import ThreadPoolExecutor
 
-    tile_map = session.tile_stack.tile_map  # geometry only (same inputs)
+    from coolpuppy_tpu.ops.tiles import build_tile_stack_sym
+
+    cfg_kw_full = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True)
 
     def run_e2e():
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut = pool.submit(stage)  # tile scatter + upload + normalize
-            # the quad sort + packing need only (r1, r2, tile geometry):
-            # they run on the second core while the scatter fills tiles
-            # (the native sort and scatter both release the GIL)
-            fsort = pool.submit(
-                pack_stream, r1, r2, gid, tile_map, PALLAS_B, Q_CAP, CALL
-            )
-            sess = fut.result()
-            sn_sorted, pk = fsort.result()
-        total = None
-        with ThreadPoolExecutor(max_workers=1) as pool:
-
-            def prep(c):
-                ks, qstart, qcount, lo, used = pk[c]
-                return jax.device_put(
-                    pack_call_args(ks, qstart, qcount, sn_sorted, lo,
-                                   used, Q_CAP, CALL)
-                )
-
-            fut = pool.submit(prep, 0)
-            for c in range(len(pk)):
-                flat = fut.result()
-                if c + 1 < len(pk):
-                    fut = pool.submit(prep, c + 1)
-                out = step(flat, sess.ctiles_dev, sess.ntiles_dev)
-                total = (
-                    out
-                    if total is None
-                    else jax.tree.map(jnp.add, total, out)
-                )
+        # fresh-region pipeline: upper-triangle scatter on one core while
+        # the native quad sort uses the other (pipelined_run re-sorts
+        # internally; the scatter dominates), then slab-prefix PIPELINED
+        # upload — early packed calls execute against already-uploaded
+        # tile prefixes while later slabs are still in flight
+        ts = build_tile_stack_sym(
+            coo, PALLAS_B, r1=r1, r2=r2, window1=W, window2=W
+        )
+        sess, total = PallasPileupSession.pipelined_run(
+            ts, valid, valid, evec[:n_bins], dict(cfg_kw_full),
+            r1, r2, gid, chunk=CALL, n_slabs=8,
+        )
         return sess.finalize([total])
 
     run_e2e()  # allocator warmup

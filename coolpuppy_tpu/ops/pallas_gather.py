@@ -553,6 +553,133 @@ class PallasPileupSession:
             self.ctiles_dev = jax.device_put(ctiles)
             self.ntiles_dev = jax.device_put(ntiles)
 
+    @classmethod
+    def _from_stacks(cls, tile_stack, ctiles_dev, ntiles_dev, cfg_kw):
+        """Session over ALREADY-device-resident normalized stacks."""
+        self = cls.__new__(cls)
+        self.tile_stack = tile_stack
+        cfg_kw = dict(cfg_kw)
+        for k in ("ooe", "cis", "ignore_diags", "frame_shift"):
+            cfg_kw.pop(k, None)
+        self.cfg_kw = cfg_kw
+        self.ctiles_dev = ctiles_dev
+        self.ntiles_dev = ntiles_dev
+        return self
+
+    @classmethod
+    def pipelined_run(cls, sym, valid1, valid2, evec, cfg_kw, r1, r2, cid,
+                      chunk=131072, n_slabs=8):
+        """Fresh-region dispatch with the tile upload PIPELINED against
+        kernel execution: the upper-triangle tiles upload in equal slabs
+        (async), and each packed call dispatches against the normalized
+        expansion of the smallest upper-slab PREFIX that covers its quads
+        — so early calls run while later slabs are still in flight.
+
+        Prefixes are self-contained because both slot orders are row-major
+        and a full slot's upper source sits at row min(tr, tc) <= tr, i.e.
+        never AFTER it; zero-filled not-yet-uploaded slots are only ever
+        referenced by later calls. One region-staging upload no longer
+        serializes in front of the whole kernel stream (the round-4 e2e
+        floor through a ~25 MB/s link).
+
+        Returns ``(session, total_dev)`` — the session holds the FULL
+        normalized stacks (for stripes/finalize), total_dev the summed
+        {sum, num} device accumulators."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..jax_setup import ensure_jax_cache
+        from .tiles import (
+            SymTileStack,
+            _make_expand_sym_fn,
+            normalize_prep_device,
+            normalize_tiles_from_prep,
+        )
+
+        ensure_jax_cache()
+        assert isinstance(sym, SymTileStack)
+        B = sym.B
+        assert B == PALLAS_B
+        cfg_kw = dict(cfg_kw)
+        interpret = bool(cfg_kw.get("interpret"))
+        ooe = cfg_kw.pop("ooe", False)
+        cis = cfg_kw.pop("cis", True)
+        ignore_diags = cfg_kw.pop("ignore_diags", 2)
+        frame_shift = cfg_kw.pop("frame_shift", 0)
+        Q_CAP = 64 if interpret else 128
+        if interpret:
+            chunk = min(chunk, max(64, _ceil_pow2(max(1, len(r1)))))
+        snips, packs = pack_stream(
+            r1, r2, cid, sym.tile_map, B, Q_CAP, chunk
+        )
+
+        K1 = sym.n_tiles + 1
+        K_pad = max(64, _ceil_pow2(K1))
+        Ku = sym.upper.shape[0]
+        Ku_pad = max(64, _ceil_pow2(Ku))
+        n_slabs = min(n_slabs, Ku_pad)
+        slab_rows = Ku_pad // n_slabs
+        upper = np.zeros((Ku_pad, B, B), np.float32)
+        upper[:Ku] = sym.upper
+        slabs = [
+            jax.device_put(upper[i * slab_rows : (i + 1) * slab_rows])
+            for i in range(n_slabs)
+        ]
+
+        src = np.zeros(K_pad, np.int32)
+        src[:K1] = sym.src
+        flip = np.zeros(K_pad, bool)
+        flip[:K1] = sym.flip
+        diag = np.zeros(K_pad, bool)
+        diag[:K1] = sym.diag
+        prefix_max_src = np.maximum.accumulate(src)
+        expand_f = _make_expand_sym_fn(B, bool(sym.diag_full))
+        # upload the per-bin vectors ONCE: each normalize over a prefix
+        # would otherwise re-upload ~6 small arrays (a link round trip
+        # each), serializing ~1 s of latency in front of the pipeline
+        prep = normalize_prep_device(
+            sym.tile_map, B, valid1, valid2, evec=evec, ooe=ooe,
+            frame_shift=frame_shift, k_pad=K_pad,
+        )
+
+        stack_cache = {}
+
+        def stacks_for(s):
+            if s not in stack_cache:
+                parts = list(slabs[: s + 1])
+                rest = (n_slabs - s - 1) * slab_rows
+                if rest:
+                    parts.append(jnp.zeros((rest, B, B), jnp.float32))
+                up = (
+                    jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                )
+                full = expand_f(up, src, flip, diag)
+                stack_cache[s] = normalize_tiles_from_prep(
+                    full, prep, B, ooe=ooe, cis=cis,
+                    ignore_diags=ignore_diags, frame_shift=frame_shift,
+                )
+            return stack_cache[s]
+
+        cfg = PallasGatherConfig(Q=Q_CAP, **cfg_kw)
+        step = make_pallas_pileup_step_flat(cfg, chunk)
+        total = None
+        for ks, qstart, qcount, lo, used in packs:
+            m_c = int(max(int(a.max(initial=0)) for a in ks))
+            u_c = int(prefix_max_src[m_c])
+            s_c = min(u_c // slab_rows, n_slabs - 1)
+            ct, nt = stacks_for(s_c)
+            flat = jax.device_put(
+                pack_call_args(ks, qstart, qcount, snips, lo, used,
+                               Q_CAP, chunk)
+            )
+            out = step(flat, ct, nt)
+            total = (
+                out if total is None else jax.tree.map(jnp.add, total, out)
+            )
+        ct, nt = stacks_for(n_slabs - 1)
+        session = cls._from_stacks(sym, ct, nt, dict(cfg_kw))
+        return session, total
+
     def run(self, r1, r2, dd0=None, cid=None, fetch=True):
         """One snip batch through the packed dispatch (dd0 unused: distance
         banding is encoded in cid by the engine)."""

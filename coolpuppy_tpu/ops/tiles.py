@@ -613,7 +613,22 @@ def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
         if cis and ignore_diags > 0:
             mask = mask * (jnp.abs(diag) >= ignore_diags)
         if ooe:
-            ew = epad[jnp.minimum(jnp.abs(diag), epad.shape[0] - 1)]
+            # per-tile toeplitz WITHOUT the [k, B, B] elementwise gather
+            # (XLA TPU scalar gathers run ~30M/s — 8.4M of them made this
+            # normalize ~0.3 s per region): gather only the [k, 2B-1]
+            # diagonal window, then build ew[k, i, j] = win[k, B-1+i-j]
+            # from B static reversed slices (exact, gather-free)
+            d0 = (tr - tc) * B + frame_shift  # [k]
+            offs = jnp.arange(2 * B - 1, dtype=jnp.int32) - (B - 1)
+            win = epad[
+                jnp.minimum(
+                    jnp.abs(d0[:, None] + offs[None, :]),
+                    epad.shape[0] - 1,
+                )
+            ]
+            ew = jnp.stack(
+                [win[:, i : i + B][:, ::-1] for i in range(B)], axis=1
+            )
             val = tiles / ew
         else:
             val = tiles
@@ -625,6 +640,71 @@ def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
         return ctiles, ntiles
 
     return f
+
+
+def normalize_prep_device(tile_map, B, valid1, valid2, evec=None,
+                          ooe=False, frame_shift=0, k_pad=None):
+    """Upload-once preparation for normalize_tiles_from_prep: per-slot
+    (tr, tc) host arrays + device-resident padded per-bin vectors. Callers
+    normalizing SEVERAL stacks over one region (the slab-prefix pipeline)
+    reuse this instead of re-uploading ~6 small arrays per stack (each a
+    ~20 ms link round trip)."""
+    import jax
+
+    if k_pad is None:
+        k_pad = int(tile_map.max()) + 1
+    tr = np.zeros(k_pad, np.int32)
+    tc = np.zeros(k_pad, np.int32)
+    gr, gc = np.nonzero(tile_map)
+    tr[tile_map[gr, gc]] = gr
+    tc[tile_map[gr, gc]] = gc
+    nrp, ncp = tile_map.shape
+    v1 = np.zeros(nrp * B + B, np.float32)
+    m1 = min(len(valid1), len(v1))
+    v1[:m1] = np.asarray(valid1, np.float32)[:m1]
+    v2 = np.zeros(ncp * B + B, np.float32)
+    m2 = min(len(valid2), len(v2))
+    v2[:m2] = np.asarray(valid2, np.float32)[:m2]
+    L = (max(nrp, ncp) + 2) * B + abs(int(frame_shift)) + 1
+    epad = np.full(L, np.nan, np.float32)
+    if ooe and evec is not None:
+        ev = np.atleast_1d(np.asarray(evec, np.float32))
+        if ev.size == 1:
+            epad[:] = ev[0]
+        else:
+            epad[: min(ev.size, L)] = ev[:L]
+    v1d, v2d, ed = jax.device_put((v1, v2, epad))
+    return tr, tc, v1d, v2d, ed
+
+
+def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
+                              ignore_diags=2, frame_shift=0, slab=1024):
+    """normalize_tiles_device over pre-uploaded vectors (normalize_prep_device)."""
+    import jax
+    import jax.numpy as jnp
+
+    tr, tc, v1d, v2d, ed = prep
+    K_pad = int(tiles_dev.shape[0])
+    trp = np.zeros(K_pad, np.int32)
+    trp[: len(tr)] = tr[:K_pad]
+    tcp = np.zeros(K_pad, np.int32)
+    tcp[: len(tc)] = tc[:K_pad]
+    f = _make_normalize_slab_fn(
+        B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
+    )
+    slab = min(slab, K_pad)
+    cparts, nparts = [], []
+    for lo in range(0, K_pad, slab):
+        hi = min(lo + slab, K_pad)
+        c, n = f(tiles_dev[lo:hi], trp[lo:hi], tcp[lo:hi], v1d, v2d, ed)
+        cparts.append(c)
+        nparts.append(n)
+    ctiles = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
+    ntiles = jnp.concatenate(nparts) if len(nparts) > 1 else nparts[0]
+    zero = jnp.zeros((1, B, B), jnp.float32)
+    ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
+    ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
+    return ctiles, ntiles
 
 
 def normalize_tiles_device(

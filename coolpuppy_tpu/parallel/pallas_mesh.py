@@ -70,7 +70,20 @@ def make_sharded_normalize_halo(
         if cis and ignore_diags > 0:
             mask = mask * (jnp.abs(diag) >= ignore_diags)
         if ooe:
-            ew = epad[jnp.minimum(jnp.abs(diag), epad.shape[0] - 1)]
+            # gather-free per-tile toeplitz (see ops/tiles
+            # _make_normalize_slab_fn): [k, 2B-1] window + B static
+            # reversed slices instead of 8.4M scalar gathers
+            d0 = (tr - tc) * B
+            offs = jnp.arange(2 * B - 1, dtype=jnp.int32) - (B - 1)
+            win = epad[
+                jnp.minimum(
+                    jnp.abs(d0[:, None] + offs[None, :]),
+                    epad.shape[0] - 1,
+                )
+            ]
+            ew = jnp.stack(
+                [win[:, i : i + B][:, ::-1] for i in range(B)], axis=1
+            )
             val = tiles / ew
         else:
             val = tiles

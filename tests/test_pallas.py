@@ -225,3 +225,41 @@ def test_run_stripes_matches_oracle():
             np.testing.assert_allclose(
                 got[fin], want[fin], rtol=1e-5, atol=1e-5
             )
+
+
+def test_pipelined_run_matches_session():
+    """pipelined_run (slab-prefix upload pipelining) must produce the
+    identical accumulators to the plain session dispatch."""
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+    from coolpuppy_tpu.ops.tiles import build_tile_stack_sym
+
+    rng = np.random.default_rng(9)
+    n, W, B = 900, 21, 128
+    dense = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.2)
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    valid = (rng.random(n) > 0.05).astype(np.float32)
+    evec = (4.0 / (1.0 + np.arange(n))).astype(np.float32)
+    S = 3000
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = rng.integers(0, n - W, S).astype(np.int32)
+    cid = rng.integers(0, 4, S).astype(np.int32)
+
+    sym = build_tile_stack_sym(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+    cfg_kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True,
+                  interpret=True)
+    plain = PallasPileupSession(sym, valid, valid, evec, dict(cfg_kw))
+    want = plain.run_many(r1, r2, cid)
+
+    sess, total = PallasPileupSession.pipelined_run(
+        sym, valid, valid, evec, dict(cfg_kw), r1, r2, cid, n_slabs=4
+    )
+    got = PallasPileupSession.finalize([total])
+    for k in ("sum", "num", "poison"):
+        np.testing.assert_allclose(
+            got[k][:8], want[k][:8], rtol=1e-6, atol=1e-6, err_msg=k
+        )
+    # the returned session's stacks are the FULL normalized stacks
+    h1 = sess.run_stripes(r1[:50], r2[:50])
+    h2 = plain.run_stripes(r1[:50], r2[:50])
+    np.testing.assert_allclose(np.nan_to_num(h1), np.nan_to_num(h2))
