@@ -130,10 +130,10 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=5):
       scalar (jax.block_until_ready can return early on dispatched pallas
       outputs through the tunnel, and fetching the [C, W, W] accumulators
       would time the tunnel, not the chip).
-    - ``e2e``: the full fresh-region pipeline — host tile-stack scatter +
-      upload + device normalize OVERLAPPED (thread) with the global quad
-      sort + packing, then dispatch with per-call upload pipelining and
-      the single accumulator fetch."""
+    - ``e2e``: the full fresh-region pipeline — host upper-triangle tile
+      scatter, global quad sort + packing, then the SLAB-PREFIX-PIPELINED
+      upload/dispatch (PallasPileupSession.pipelined_run) and the single
+      accumulator fetch."""
     import jax
     import jax.numpy as jnp
 
@@ -206,24 +206,20 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=5):
         dev_times.append(time.time() - t0)
     device_t = float(np.median(dev_times))
 
-    # -- end-to-end: fresh-region pipeline with stage/sort overlap --------
-    from concurrent.futures import ThreadPoolExecutor
-
+    # -- end-to-end: fresh-region pipeline, slab-prefix pipelined ---------
     from coolpuppy_tpu.ops.tiles import build_tile_stack_sym
 
-    cfg_kw_full = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True)
-
     def run_e2e():
-        # fresh-region pipeline: upper-triangle scatter on one core while
-        # the native quad sort uses the other (pipelined_run re-sorts
-        # internally; the scatter dominates), then slab-prefix PIPELINED
-        # upload — early packed calls execute against already-uploaded
-        # tile prefixes while later slabs are still in flight
+        # fresh-region pipeline: upper-triangle scatter + quad sort
+        # (sequential on the host), then slab-prefix PIPELINED upload —
+        # early packed calls execute against already-uploaded tile
+        # prefixes while later slabs are still in flight
+        # (PallasPileupSession.pipelined_run)
         ts = build_tile_stack_sym(
             coo, PALLAS_B, r1=r1, r2=r2, window1=W, window2=W
         )
         sess, total = PallasPileupSession.pipelined_run(
-            ts, valid, valid, evec[:n_bins], dict(cfg_kw_full),
+            ts, valid, valid, evec[:n_bins], dict(cfg_kw),
             r1, r2, gid, chunk=CALL, n_slabs=8,
         )
         return sess.finalize([total])

@@ -16,6 +16,7 @@ import logging
 import os
 import pickle
 import re as _re
+import threading
 import warnings
 from functools import reduce, partial
 
@@ -72,6 +73,7 @@ def _next_pow2(x):
 
 
 _STAGE_POOL = None
+_STAGE_POOL_LOCK = threading.Lock()
 
 
 def _stage_pool():
@@ -80,12 +82,13 @@ def _stage_pool():
     per-PileUpper executor leaked an idle thread + its last build's
     references per instance."""
     global _STAGE_POOL
-    if _STAGE_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+    with _STAGE_POOL_LOCK:
+        if _STAGE_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        _STAGE_POOL = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="pallas-stage"
-        )
+            _STAGE_POOL = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pallas-stage"
+            )
     return _STAGE_POOL
 
 
@@ -592,7 +595,12 @@ class PileUpper:
         raw counts on deep maps can exceed float16's 65504 max."""
         if not bool(getattr(self, "stripe_f16", True)):
             return False
-        return bool(self.clr_weight_name) or bool(self.expected)
+        # expected WITHOUT ooe leaves raw counts in the stacks (the
+        # expected plane is emitted separately), so only balanced or
+        # OOE-divided values are f16-safe
+        return bool(self.clr_weight_name) or bool(
+            self.expected and self.ooe
+        )
 
     def _window_bins(self):
         """Window size in bins for the non-rescaled path (reference

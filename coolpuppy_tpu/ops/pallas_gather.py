@@ -617,6 +617,9 @@ class PallasPileupSession:
         K_pad = max(64, _ceil_pow2(K1))
         Ku = sym.upper.shape[0]
         Ku_pad = max(64, _ceil_pow2(Ku))
+        # n_slabs must DIVIDE Ku_pad or the tail rows would never upload
+        # (silent corruption); Ku_pad is pow2, so round down to a pow2
+        n_slabs = 1 << int(np.floor(np.log2(max(1, n_slabs))))
         n_slabs = min(n_slabs, Ku_pad)
         slab_rows = Ku_pad // n_slabs
         upper = np.zeros((Ku_pad, B, B), np.float32)
@@ -642,10 +645,14 @@ class PallasPileupSession:
             frame_shift=frame_shift, k_pad=K_pad,
         )
 
-        stack_cache = {}
+        # only the LARGEST prefix built so far is kept: prefixes are
+        # supersets (extra uploaded slots are simply unreferenced by
+        # earlier calls), and retaining every prefix would hold up to
+        # n_slabs full normalized stacks in HBM at once
+        built = {"s": -1, "stacks": None}
 
         def stacks_for(s):
-            if s not in stack_cache:
+            if s > built["s"]:
                 parts = list(slabs[: s + 1])
                 rest = (n_slabs - s - 1) * slab_rows
                 if rest:
@@ -654,11 +661,12 @@ class PallasPileupSession:
                     jnp.concatenate(parts) if len(parts) > 1 else parts[0]
                 )
                 full = expand_f(up, src, flip, diag)
-                stack_cache[s] = normalize_tiles_from_prep(
+                built["s"] = s
+                built["stacks"] = normalize_tiles_from_prep(
                     full, prep, B, ooe=ooe, cis=cis,
                     ignore_diags=ignore_diags, frame_shift=frame_shift,
                 )
-            return stack_cache[s]
+            return built["stacks"]
 
         cfg = PallasGatherConfig(Q=Q_CAP, **cfg_kw)
         step = make_pallas_pileup_step_flat(cfg, chunk)

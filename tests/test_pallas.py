@@ -263,3 +263,39 @@ def test_pipelined_run_matches_session():
     h1 = sess.run_stripes(r1[:50], r2[:50])
     h2 = plain.run_stripes(r1[:50], r2[:50])
     np.testing.assert_allclose(np.nan_to_num(h1), np.nan_to_num(h2))
+
+
+def test_pipelined_run_non_pow2_slabs():
+    """Non-divisor n_slabs must still cover every upper tile (the naive
+    Ku_pad // n_slabs split silently dropped the tail rows — wrong sums
+    with no error)."""
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+    from coolpuppy_tpu.ops.tiles import build_tile_stack_sym
+
+    rng = np.random.default_rng(13)
+    n, W, B = 1290, 21, 128
+    dense = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.15)
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    valid = (rng.random(n) > 0.05).astype(np.float32)
+    evec = (4.0 / (1.0 + np.arange(n))).astype(np.float32)
+    S = 2000
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = np.minimum(r1 + rng.integers(0, 60, S), n - W - 1).astype(np.int32)
+    cid = rng.integers(0, 4, S).astype(np.int32)
+    sym = build_tile_stack_sym(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+    cfg_kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True,
+                  interpret=True)
+    want = PallasPileupSession(
+        sym, valid, valid, evec, dict(cfg_kw)
+    ).run_many(r1, r2, cid)
+    for n_slabs in (3, 5, 6, 7):
+        _, total = PallasPileupSession.pipelined_run(
+            sym, valid, valid, evec, dict(cfg_kw), r1, r2, cid,
+            n_slabs=n_slabs,
+        )
+        got = PallasPileupSession.finalize([total])
+        np.testing.assert_allclose(
+            got["sum"][:8], want["sum"][:8], rtol=1e-6, atol=1e-6,
+            err_msg=f"n_slabs={n_slabs}",
+        )
