@@ -468,7 +468,98 @@ def bench_modes(n_sites=20_000, maxdist=2_000_000, seed=0):
         rate_b, _ = run(feats, **kw)
         results[name] = max(rate_a, rate_b)
     results["snips"] = n1
+
+    # bedpe: explicit pair rows through the rectangle-predicate stream
+    # (VERDICT r3 #8 done-criterion: within 20% of cis plain)
+    n_pairs = min(2_000_000, n_sites * 100)
+    a1 = rng.integers(0, clr.n_bins - 300, n_pairs)
+    sep = rng.integers(12, 200, n_pairs)
+    a2 = np.minimum(a1 + sep, clr.n_bins - 12)
+    bedpe = pd.DataFrame(
+        {
+            "chrom1": "chr1",
+            "start1": a1 * binsize,
+            "end1": a1 * binsize + 1_000,
+            "chrom2": "chr1",
+            "start2": a2 * binsize,
+            "end2": a2 * binsize + 1_000,
+        }
+    )
+
+    def run_bedpe(f):
+        t0 = time.time()
+        pup = pileup(clr, f, features_format="bedpe", flank=100_000,
+                     mindist=0, seed=0)
+        wall = time.time() - t0
+        return int(pup.loc[pup["group"] == "all", "n"].iloc[0]) / wall
+
+    run_bedpe(bedpe.iloc[:10_000])
+    results["bedpe"] = max(run_bedpe(bedpe), run_bedpe(bedpe))
+
+    # trans: cross-chromosome feature products through the interval-product
+    # predicate stream (second synthetic chromosome)
+    clr2 = _bench_cooler2()
+    n_t = 1_500
+    t_starts1 = np.sort(rng.choice(
+        clr2.chromsizes["chr1"] - 10_000, n_t, replace=False))
+    t_starts2 = np.sort(rng.choice(
+        clr2.chromsizes["chr2"] - 10_000, n_t, replace=False))
+    tfeats = pd.DataFrame(
+        {
+            "chrom": ["chr1"] * n_t + ["chr2"] * n_t,
+            "start": np.concatenate([t_starts1, t_starts2]),
+            "end": np.concatenate([t_starts1, t_starts2]) + 1_000,
+        }
+    )
+
+    def run_trans(f):
+        t0 = time.time()
+        pup = pileup(clr2, f, features_format="bed", flank=100_000,
+                     trans=True, seed=0)
+        wall = time.time() - t0
+        return int(pup.loc[pup["group"] == "all", "n"].iloc[0]) / wall
+
+    run_trans(tfeats.iloc[list(range(200)) + list(range(n_t, n_t + 200))])
+    results["trans"] = max(run_trans(tfeats), run_trans(tfeats))
     return results
+
+
+def _bench_cooler2(binsize=10_000, seed=1,
+                   path="/tmp/bench_engine_trans.cool"):
+    """Two-chromosome cooler for the trans benchmark."""
+    import os
+
+    from coolpuppy_tpu.io import Cooler, write_cool
+
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        n1, n2 = 10_000, 8_000
+        chromsizes = {"chr1": n1 * binsize, "chr2": n2 * binsize}
+        pix1, pix2, cnt = [], [], []
+        for lo, n, off in ((0, n1, 0), (n1, n2, n1)):
+            d = rng.zipf(1.35, 8_000_000)
+            d = d[d < n][:3_000_000]
+            i = rng.integers(0, n, len(d)) + off
+            j = np.minimum(i + d, off + n - 1)
+            v = rng.poisson(3.0, len(d)) + 1
+            pix1.append(i)
+            pix2.append(j)
+            cnt.append(v)
+        # trans block
+        ti = rng.integers(0, n1, 2_000_000)
+        tj = rng.integers(n1, n1 + n2, 2_000_000)
+        pix1.append(ti)
+        pix2.append(tj)
+        cnt.append(rng.poisson(1.0, 2_000_000) + 1)
+        weights = rng.uniform(0.5, 1.5, n1 + n2)
+        weights[rng.random(n1 + n2) < 0.03] = np.nan
+        write_cool(
+            path, chromsizes, binsize,
+            (np.concatenate(pix1), np.concatenate(pix2),
+             np.concatenate(cnt)),
+            weights=weights,
+        )
+    return Cooler(path)
 
 
 def bench_extension(n_sites=2_000, maxdist=1_000_000, seed=0):
@@ -937,6 +1028,8 @@ def main():
                         "stripes": round(res["stripes"]),
                         "coverage_norm": round(res["coverage_norm"]),
                         "by_window": round(res["by_window"]),
+                        "bedpe": round(res["bedpe"]),
+                        "trans": round(res["trans"]),
                         "snips": res["snips"],
                     },
                 }
