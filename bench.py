@@ -830,6 +830,80 @@ def probe_tunnel():
     return round(up, 1), round(down, 1)
 
 
+def bench_genome(n_chroms=20, bins_per=13_500, binsize=10_000,
+                 n_sites=37_000, maxdist=2_000_000, nshifts=10, seed=0):
+    """Reference-realistic GENOME-WIDE workload: ~2.7 Gbp over 20
+    chromosomes at 10 kb (~150M stored contacts), 37k stranded CTCF-like
+    sites (the scale of the reference's Bonev_CTCF beds and its
+    loop_ref.np.txt golden: 10 kb, 10 shifts, by-strand) — exercises the
+    multi-region pipeline (per-chrom staging prefetch + streams) rather
+    than the single-region kernel loop."""
+    import os
+
+    import pandas as pd
+
+    from coolpuppy_tpu import pileup
+    from coolpuppy_tpu.io import Cooler, write_cool
+
+    path = "/tmp/bench_genome.cool"
+    rng = np.random.default_rng(seed)
+    chroms = [f"chr{i+1}" for i in range(n_chroms)]
+    chromsizes = {c: bins_per * binsize for c in chroms}
+    if not os.path.exists(path):
+        pix1, pix2, cnt = [], [], []
+        off = 0
+        for c in chroms:
+            d = rng.zipf(1.35, 18_000_000)
+            d = d[d < bins_per][:7_500_000]
+            i = rng.integers(0, bins_per, len(d)) + off
+            j = np.minimum(i + d, off + bins_per - 1)
+            v = rng.poisson(3.0, len(d)) + 1
+            pix1.append(i.astype(np.int64))
+            pix2.append(j.astype(np.int64))
+            cnt.append(v.astype(np.int32))
+            off += bins_per
+        n_bins = off
+        weights = rng.uniform(0.5, 1.5, n_bins)
+        weights[rng.random(n_bins) < 0.03] = np.nan
+        write_cool(
+            path, chromsizes, binsize,
+            (np.concatenate(pix1), np.concatenate(pix2),
+             np.concatenate(cnt)),
+            weights=weights,
+        )
+    clr = Cooler(path)
+
+    per = n_sites // n_chroms
+    frames = []
+    for c in chroms:
+        starts = np.sort(rng.choice(
+            chromsizes[c] - 20_000, per, replace=False))
+        frames.append(pd.DataFrame({
+            "chrom": c, "start": starts, "end": starts + 1_000,
+            "name": ".", "score": 0,
+            "strand": rng.choice(["+", "-"], per),
+        }))
+    feats = pd.concat(frames, ignore_index=True)
+
+    def run(f):
+        t0 = time.time()
+        pup = pileup(clr, f, features_format="bed", flank=100_000,
+                     maxdist=maxdist, nshifts=nshifts, seed=0,
+                     by_strand=True)
+        wall = time.time() - t0
+        n = int(pup.loc[pup["orientation"] == "all", "n"].iloc[0]) + int(
+            pup.loc[pup["orientation"] == "all", "control_n"].iloc[0]
+        )
+        return n / wall, wall, n
+
+    run(feats.iloc[: per])  # warm compiles on one chrom's worth
+    rate, wall, n = run(feats)
+    rate2, wall2, _ = run(feats)
+    if rate2 > rate:
+        rate, wall = rate2, wall2
+    return rate, wall, n, len(feats)
+
+
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
     """The reference's per-snip hot loop (coolpup.py:1104–1191): CSR slice ->
     dense, NaN bad rows/cols, diag mask, ooe divide, nansum-accumulate."""
@@ -888,6 +962,12 @@ def main():
         "--extension",
         action="store_true",
         help="host snip-stream throughput with per-snip extension hooks",
+    )
+    ap.add_argument(
+        "--genome",
+        action="store_true",
+        help="genome-wide multi-chromosome workload (37k CTCF-scale sites"
+        ", 20 chroms, 10 shifts, by-strand)",
     )
     args = ap.parse_args()
     if args.quick:
@@ -960,6 +1040,33 @@ def main():
                             "the absence of a dispatch/collective cliff on "
                             "the engine's actual multi-chip path"
                         ),
+                    },
+                }
+            )
+        )
+        return
+
+    if args.genome:
+        import jax
+
+        rate, wall, n, n_feats = bench_genome()
+        up, down = probe_tunnel()
+        print(
+            json.dumps(
+                {
+                    "metric": "genome_snippets_per_sec",
+                    "value": round(rate),
+                    "unit": "snips/s",
+                    "vs_baseline": None,
+                    "detail": {
+                        "device": str(jax.devices()[0]),
+                        "snips": n,
+                        "features": n_feats,
+                        "chroms": 20,
+                        "nshifts": 10,
+                        "wall_s": round(wall, 2),
+                        "tunnel_mbps_up": up,
+                        "tunnel_mbps_down": down,
                     },
                 }
             )

@@ -678,6 +678,26 @@ class PileUpper:
             return (rt[:, None] * nc + ct[None, :]).ravel()
         return None
 
+    def _maybe_open_stream(self, region1, region2, dev):
+        """Open the streaming session for a region pair when eligible
+        (called in-loop, or from the region PREFETCH so the build worker
+        overlaps the previous region's compute)."""
+        if self.rescale or self.mesh is not None:
+            return None
+        W = self._window_bins()
+        if not self._use_pallas(dev, W):
+            return None
+        if (
+            region2 == region1
+            and self.CC.kind == "bed"
+            and not self.trans
+        ):
+            return self._open_pallas_stream(dev, W)
+        want = self._stream_tile_want(region1, region2, dev)
+        if want is not None:
+            return self._open_pallas_stream(dev, W, want=want)
+        return None
+
     def _open_pallas_stream(self, dev, W, want=None):
         """Create a tile-predicate pallas session for single-pass streaming:
         every tile a window can touch is staged on device BEFORE any
@@ -919,27 +939,29 @@ class PileUpper:
         use_pallas = (not self.rescale) and self._use_pallas(dev, W)
         # single-pass streaming (pallas, single device): a tile predicate
         # that needs no window coordinates (cis |row-col| band; bedpe/trans
-        # interval rectangles) lets dispatches overlap the host collection
-        stream = None
-        if use_pallas and self.mesh is None and not dual_anchor:
+        # interval rectangles) lets dispatches overlap the host collection.
+        # Multi-region runs PRE-OPEN the stream during region prefetch
+        # (pileupsWithControl), overlapping region i+1's tile staging with
+        # region i's compute — at genome scale per-region staging was
+        # ~40% of the wall
+        stream = dev.get("_stream")
+        if stream is None and use_pallas and self.mesh is None and (
+            not dual_anchor
+        ):
             # (by-window's G >> stream capacity would abort any stream)
             tctx = timers.phase("tiles") if timers else contextlib.nullcontext()
-            if (
-                region2 == region1
-                and self.CC.kind == "bed"
-                and not self.trans
-            ):
-                with tctx:
-                    stream = self._open_pallas_stream(dev, W)
-            else:
-                want = self._stream_tile_want(region1, region2, dev)
-                if want is not None:
-                    with tctx:
-                        stream = self._open_pallas_stream(dev, W, want=want)
-            if stream is not None:
-                self._stream_regions = (
-                    getattr(self, "_stream_regions", 0) + 1
-                )
+            with tctx:
+                stream = self._maybe_open_stream(region1, region2, dev)
+        elif stream is not None and (
+            not use_pallas or self.mesh is not None or dual_anchor
+        ):
+            # pre-opened but this call is ineligible (defensive)
+            stream.aborted = True
+            stream = None
+        if stream is not None:
+            self._stream_regions = (
+                getattr(self, "_stream_regions", 0) + 1
+            )
 
         # -- phase 1: host coordinate collection -----------------------
         cols = {k: [] for k in ("r1", "r2", "dd0", "cidl", "flip", "h1", "w2")}
@@ -2927,6 +2949,25 @@ class PileUpper:
                 os.replace(tmp, _ckpt_path(r1, r2))
             return out
 
+        # stream pre-open is safe exactly when pileup_region would open
+        # one (same flags; per-snip hooks force the host path instead)
+        can_prestream = (
+            postprocess_snip_func is None
+            and extra_sum_funcs is None
+            and not dual_anchor
+            and not self.rescale
+            and self.mesh is None
+        )
+
+        def _stage_with_stream(r1, r2):
+            dev = self._stage_region(r1, r2)
+            if can_prestream:
+                stream = self._maybe_open_stream(r1, r2, dev)
+                if stream is not None:
+                    dev = dict(dev)
+                    dev["_stream"] = stream
+            return dev
+
         pairs = self._region_pairs()
         multihost = False
         if self.mesh is not None:
@@ -2946,12 +2987,14 @@ class PileUpper:
         ) as pool:
             futures = {}
             for idx, (r1, r2) in enumerate(pairs[:n_prefetch]):
-                futures[idx] = pool.submit(self._stage_region, r1, r2)
+                futures[idx] = pool.submit(_stage_with_stream, r1, r2)
             for idx, (r1, r2) in enumerate(pairs):
                 dev = futures.pop(idx).result()
                 nxt = idx + n_prefetch
                 if nxt < len(pairs):
-                    futures[nxt] = pool.submit(self._stage_region, *pairs[nxt])
+                    futures[nxt] = pool.submit(
+                        _stage_with_stream, *pairs[nxt]
+                    )
                 pileups.append(_run_one(r1, r2, dev))
         timers.log_summary()
 
