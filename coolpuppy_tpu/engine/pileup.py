@@ -268,8 +268,11 @@ class _PallasStream:
             )
         )
 
-    def finish(self):
-        """Dispatch the tail and block; returns [capacity, ...] totals."""
+    def finish(self, groups=None):
+        """Dispatch the tail and block. With ``groups`` (the used group
+        count), only the used accumulator rows cross the link ([2*groups]
+        compact layout — merge with half=groups); otherwise the full
+        [capacity] banks return."""
         self.resolve(block=True)
         if self._buffered:
             self._dispatch(self._buffered)
@@ -277,6 +280,10 @@ class _PallasStream:
             self._dispatch_stripes(self._sbuffered)
         if self._total_dev is None:
             return None
+        if groups is not None and groups <= self.half:
+            return self.session.finalize(
+                [self._total_dev], compact=(groups, self.half)
+            )
         total = self.session.finalize([self._total_dev])
         return {k: v[: self.capacity] for k, v in total.items()}
 
@@ -1245,8 +1252,11 @@ class PileUpper:
             elif use_pallas and stream is not None and not stream.aborted:
                 # streamed: chunks already dispatched during collection
                 with dev_ctx:
-                    streamed = stream.finish()
-                    merged = merge_flip_banks(streamed, stream.half)
+                    streamed = stream.finish(groups=G)
+                    half_eff = G if streamed is not None and len(
+                        streamed["sum"]
+                    ) == 2 * G else stream.half
+                    merged = merge_flip_banks(streamed, half_eff)
                     out_total = {k: v[:G] for k, v in merged.items()}
                     if self.store_stripes and stream.stripes:
                         # stripe planes streamed per chunk with async host

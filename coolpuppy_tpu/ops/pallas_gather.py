@@ -809,17 +809,31 @@ class PallasPileupSession:
         return np.asarray(gathered)
 
     @staticmethod
-    def finalize(outs):
+    def finalize(outs, compact=None):
         """Block on a list of run(fetch=False) outputs and reduce them to
         float64 host totals. The reduction happens ON DEVICE with a single
         device->host fetch at the end — fetching each chunk's [C, W, W]
         accumulators individually costs one tunnel round-trip per array and
         dominated wall time at 15+ chunks. Poison rides the sums as +inf
         (contributions are nonnegative, so inf never cancels); expose it as
-        the explicit plane the engine expects, once for the whole stream."""
+        the explicit plane the engine expects, once for the whole stream.
+
+        ``compact=(G, half)`` slices the used accumulator rows ON DEVICE
+        before the fetch — the kernel's capacity-pinned banks hold 1032
+        rows per key while typical runs use ~10 ([0:G] unflipped +
+        [half:half+G] flip bank; callers then merge with half=G). At
+        genome scale the full-bank fetches were ~3.6 MB x 20 regions of
+        pure padding."""
         total_dev = outs[0]
         for o in outs[1:]:
             total_dev = jax.tree.map(jnp.add, total_dev, o)
+        if compact is not None:
+            G, half = compact
+
+            def cut(v):
+                return jnp.concatenate([v[:G], v[half : half + G]])
+
+            total_dev = {k: cut(v) for k, v in total_dev.items()}
         total = {
             k: np.asarray(jax.device_get(v), np.float64)
             for k, v in total_dev.items()
