@@ -846,10 +846,12 @@ def bench_genome(n_chroms=20, bins_per=13_500, binsize=10_000,
     from coolpuppy_tpu.io import Cooler, write_cool
 
     path = "/tmp/bench_genome.cool"
-    rng = np.random.default_rng(seed)
     chroms = [f"chr{i+1}" for i in range(n_chroms)]
     chromsizes = {c: bins_per * binsize for c in chroms}
     if not os.path.exists(path):
+        # cooler generation uses its OWN rng: feature sampling below must
+        # be identical whether the cooler came from cache or not
+        rng = np.random.default_rng(seed)
         pix1, pix2, cnt = [], [], []
         off = 0
         for c in chroms:
@@ -875,13 +877,16 @@ def bench_genome(n_chroms=20, bins_per=13_500, binsize=10_000,
 
     per = n_sites // n_chroms
     frames = []
+    rng_f = np.random.default_rng(seed + 1)
     for c in chroms:
-        starts = np.sort(rng.choice(
-            chromsizes[c] - 20_000, per, replace=False))
+        # sample BIN positions (13.5k-element population) — replace=False
+        # over the bp population permuted ~1e8 elements per chromosome
+        bins_ok = np.arange(1, bins_per - 2)
+        starts = np.sort(rng_f.choice(bins_ok, per, replace=False)) * binsize
         frames.append(pd.DataFrame({
             "chrom": c, "start": starts, "end": starts + 1_000,
             "name": ".", "score": 0,
-            "strand": rng.choice(["+", "-"], per),
+            "strand": rng_f.choice(["+", "-"], per),
         }))
     feats = pd.concat(frames, ignore_index=True)
 

@@ -685,27 +685,33 @@ class PileUpper:
             return (rt[:, None] * nc + ct[None, :]).ravel()
         return None
 
-    def _maybe_open_stream(self, region1, region2, dev):
+    def _maybe_open_stream(self, region1, region2, dev, prefetch=False):
         """Open the streaming session for a region pair when eligible
         (called in-loop, or from the region PREFETCH so the build worker
-        overlaps the previous region's compute)."""
+        overlaps the previous region's compute). ``prefetch=True`` applies
+        a stricter tile cap: several prefetched regions' normalized
+        stacks can be device-resident at once, so near-cap regions
+        (~800 MB of stacks each) stage in-loop instead."""
         if self.rescale or self.mesh is not None:
             return None
         W = self._window_bins()
         if not self._use_pallas(dev, W):
             return None
+        max_tiles = 1536 if prefetch else None
         if (
             region2 == region1
             and self.CC.kind == "bed"
             and not self.trans
         ):
-            return self._open_pallas_stream(dev, W)
+            return self._open_pallas_stream(dev, W, max_tiles=max_tiles)
         want = self._stream_tile_want(region1, region2, dev)
         if want is not None:
-            return self._open_pallas_stream(dev, W, want=want)
+            return self._open_pallas_stream(
+                dev, W, want=want, max_tiles=max_tiles
+            )
         return None
 
-    def _open_pallas_stream(self, dev, W, want=None):
+    def _open_pallas_stream(self, dev, W, want=None, max_tiles=None):
         """Create a tile-predicate pallas session for single-pass streaming:
         every tile a window can touch is staged on device BEFORE any
         coordinates exist — the |row-col| band for cis bed (``want=None``),
@@ -727,7 +733,8 @@ class PileUpper:
                 band_bins = n1
             n_tile_rows = -(-n1 // PALLAS_B)
             est_tiles = n_tile_rows * (2 * (band_bins // PALLAS_B + 1) + 1)
-        if est_tiles > 6144:  # ~800MB of normalized stacks: fall back
+        cap = 6144 if max_tiles is None else max_tiles
+        if est_tiles > cap:  # ~800MB of normalized stacks at 6144
             return None
         interpret = self.backend == "pallas-interpret"
         # must mirror _pallas_accumulate's capacity pinning so a fallback
@@ -2939,6 +2946,8 @@ class PileUpper:
                 if os.path.exists(path):
                     with open(path, "rb") as f:
                         return pickle.load(f)
+            if dev is None:
+                dev = self._stage_region(r1, r2)
             out = self.pileup_region(
                 r1,
                 r2,
@@ -2970,9 +2979,13 @@ class PileUpper:
         )
 
         def _stage_with_stream(r1, r2):
+            if self.checkpoint_dir and os.path.exists(_ckpt_path(r1, r2)):
+                # checkpoint resume skips compute entirely — don't pay the
+                # staging it exists to avoid
+                return None
             dev = self._stage_region(r1, r2)
             if can_prestream:
-                stream = self._maybe_open_stream(r1, r2, dev)
+                stream = self._maybe_open_stream(r1, r2, dev, prefetch=True)
                 if stream is not None:
                     dev = dict(dev)
                     dev["_stream"] = stream

@@ -636,6 +636,9 @@ class PallasPileupSession:
         diag = np.zeros(K_pad, bool)
         diag[:K1] = sym.diag
         prefix_max_src = np.maximum.accumulate(src)
+        # upload the expansion metadata ONCE (each prefix rebuild would
+        # otherwise re-ship three small arrays through the ~20 ms link)
+        src_d, flip_d, diag_d = jax.device_put((src, flip, diag))
         expand_f = _make_expand_sym_fn(B, bool(sym.diag_full))
         # upload the per-bin vectors ONCE: each normalize over a prefix
         # would otherwise re-upload ~6 small arrays (a link round trip
@@ -660,7 +663,7 @@ class PallasPileupSession:
                 up = (
                     jnp.concatenate(parts) if len(parts) > 1 else parts[0]
                 )
-                full = expand_f(up, src, flip, diag)
+                full = expand_f(up, src_d, flip_d, diag_d)
                 built["s"] = s
                 built["stacks"] = normalize_tiles_from_prep(
                     full, prep, B, ooe=ooe, cis=cis,

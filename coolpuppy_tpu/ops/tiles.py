@@ -659,6 +659,7 @@ def normalize_prep_device(tile_map, B, valid1, valid2, evec=None,
     tr[tile_map[gr, gc]] = gr
     tc[tile_map[gr, gc]] = gc
     nrp, ncp = tile_map.shape
+    del gr, gc
     v1 = np.zeros(nrp * B + B, np.float32)
     m1 = min(len(valid1), len(v1))
     v1[:m1] = np.asarray(valid1, np.float32)[:m1]
@@ -673,22 +674,24 @@ def normalize_prep_device(tile_map, B, valid1, valid2, evec=None,
             epad[:] = ev[0]
         else:
             epad[: min(ev.size, L)] = ev[:L]
-    v1d, v2d, ed = jax.device_put((v1, v2, epad))
-    return tr, tc, v1d, v2d, ed
+    trd, tcd, v1d, v2d, ed = jax.device_put((tr, tc, v1, v2, epad))
+    return trd, tcd, v1d, v2d, ed
 
 
 def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
                               ignore_diags=2, frame_shift=0, slab=1024):
-    """normalize_tiles_device over pre-uploaded vectors (normalize_prep_device)."""
+    """normalize_tiles_device over pre-uploaded index/vector arrays
+    (normalize_prep_device with matching ``k_pad``): every argument slices
+    DEVICE arrays, so repeated normalizes over one region (the slab-prefix
+    pipeline) ship no further host->device bytes."""
     import jax
     import jax.numpy as jnp
 
-    tr, tc, v1d, v2d, ed = prep
+    trd, tcd, v1d, v2d, ed = prep
     K_pad = int(tiles_dev.shape[0])
-    trp = np.zeros(K_pad, np.int32)
-    trp[: len(tr)] = tr[:K_pad]
-    tcp = np.zeros(K_pad, np.int32)
-    tcp[: len(tc)] = tc[:K_pad]
+    assert trd.shape[0] == K_pad, (
+        "normalize_prep_device must be built with k_pad == tiles_dev depth"
+    )
     f = _make_normalize_slab_fn(
         B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
     )
@@ -696,7 +699,7 @@ def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
     cparts, nparts = [], []
     for lo in range(0, K_pad, slab):
         hi = min(lo + slab, K_pad)
-        c, n = f(tiles_dev[lo:hi], trp[lo:hi], tcp[lo:hi], v1d, v2d, ed)
+        c, n = f(tiles_dev[lo:hi], trd[lo:hi], tcd[lo:hi], v1d, v2d, ed)
         cparts.append(c)
         nparts.append(n)
     ctiles = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
@@ -724,52 +727,17 @@ def normalize_tiles_device(
     stack (e.g. the sym-expanded upper-triangle upload): same per-pixel
     semantics, no further host->device tile transfer. ``tiles_dev`` is
     [K_pad, B, B]; padding slots normalize to garbage but are never
-    referenced by ``tile_map``. Slot 0 is re-zeroed."""
-    import jax
-    import jax.numpy as jnp
-
-    K_pad = int(tiles_dev.shape[0])
-    tr = np.zeros(K_pad, np.int32)
-    tc = np.zeros(K_pad, np.int32)
-    gr, gc = np.nonzero(tile_map)
-    tr[tile_map[gr, gc]] = gr
-    tc[tile_map[gr, gc]] = gc
-
-    nrp, ncp = tile_map.shape
-    v1 = np.zeros(nrp * B + B, np.float32)
-    m1 = min(len(valid1), len(v1))
-    v1[:m1] = np.asarray(valid1, np.float32)[:m1]
-    v2 = np.zeros(ncp * B + B, np.float32)
-    m2 = min(len(valid2), len(v2))
-    v2[:m2] = np.asarray(valid2, np.float32)[:m2]
-    L = (max(nrp, ncp) + 2) * B + abs(int(frame_shift)) + 1
-    epad = np.full(L, np.nan, np.float32)
-    if ooe and evec is not None:
-        ev = np.atleast_1d(np.asarray(evec, np.float32))
-        if ev.size == 1:
-            epad[:] = ev[0]
-        else:
-            epad[: min(ev.size, L)] = ev[:L]
-
-    f = _make_normalize_slab_fn(
-        B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
+    referenced by ``tile_map``. Slot 0 is re-zeroed. Composes
+    normalize_prep_device + normalize_tiles_from_prep (one definition of
+    the semantics)."""
+    prep = normalize_prep_device(
+        tile_map, B, valid1, valid2, evec=evec, ooe=ooe,
+        frame_shift=frame_shift, k_pad=int(tiles_dev.shape[0]),
     )
-    v1d, v2d, ed = jax.device_put((v1, v2, epad))
-    # K_pad is pow2, slab 1024: slab sizes are a bounded set of pow2
-    # shapes (<=1024), each a persistently-cached XLA compile
-    slab = min(slab, K_pad)
-    cparts, nparts = [], []
-    for lo in range(0, K_pad, slab):
-        hi = min(lo + slab, K_pad)
-        c, n = f(tiles_dev[lo:hi], tr[lo:hi], tc[lo:hi], v1d, v2d, ed)
-        cparts.append(c)
-        nparts.append(n)
-    ctiles = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
-    ntiles = jnp.concatenate(nparts) if len(nparts) > 1 else nparts[0]
-    zero = jnp.zeros((1, B, B), jnp.float32)
-    ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
-    ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
-    return ctiles, ntiles
+    return normalize_tiles_from_prep(
+        tiles_dev, prep, B, ooe=ooe, cis=cis,
+        ignore_diags=ignore_diags, frame_shift=frame_shift, slab=slab,
+    )
 
 
 def normalize_tile_stack_device(

@@ -90,11 +90,16 @@ def test_fuzz_backend_parity(toy, exp, case):
     assert list(a.index) == list(b.index), kw
     for g in a.index:
         assert int(a.loc[g, "n"]) == int(b.loc[g, "n"]), (kw, g)
+        da = np.asarray(a.loc[g, "data"], float)
+        db = np.asarray(b.loc[g, "data"], float)
+        # NaN masks must agree BEFORE flattening (a NaN-vs-0 divergence is
+        # exactly the masking-parity bug class this harness exists for)
+        np.testing.assert_array_equal(
+            np.isnan(da), np.isnan(db), err_msg=str((kw, g))
+        )
         np.testing.assert_allclose(
-            np.nan_to_num(np.asarray(a.loc[g, "data"], float),
-                          posinf=1e30),
-            np.nan_to_num(np.asarray(b.loc[g, "data"], float),
-                          posinf=1e30),
+            np.nan_to_num(da, posinf=1e30),
+            np.nan_to_num(db, posinf=1e30),
             rtol=1e-4, atol=1e-7, err_msg=str((kw, g)),
         )
         if kw.get("store_stripes"):
