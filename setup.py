@@ -6,7 +6,17 @@ setup(
     name="coolpuppy-tpu",
     version=__version__,  # noqa: F821
     description="TPU-native sparse pile-up (APA) engine for Hi-C data",
-    packages=find_packages(include=["coolpuppy_tpu", "coolpuppy_tpu.*"]),
+    packages=find_packages(
+        include=[
+            "coolpuppy_tpu",
+            "coolpuppy_tpu.*",
+            # import-compat shim mapping the reference's module surface
+            # (coolpuppy.coolpup / plotpup / lib.*) onto coolpuppy_tpu;
+            # do not install alongside the original coolpuppy
+            "coolpuppy",
+            "coolpuppy.*",
+        ]
+    ),
     python_requires=">=3.10",
     install_requires=[
         "numpy",
