@@ -1142,18 +1142,36 @@ class PileUpper:
             else:
                 cols["flip"].append(np.zeros(len(chunk), bool))
             # vectorized (kind, group) -> cid: python only per UNIQUE pair.
+            # Categorical columns (kind always; group via assign_groups)
+            # expose their codes directly — re-factorizing object columns
+            # per chunk cost ~0.1 us/row across millions of rows.
             # use_na_sentinel=False keeps a NaN group as a regular category
             # (the -1 sentinel would alias a legitimate (kind, group) code)
-            kcode, kuniq = pd.factorize(chunk["kind"], use_na_sentinel=False)
-            gcode, guniq = pd.factorize(chunk["group"], use_na_sentinel=False)
-            pair = kcode.astype(np.int64) * max(len(guniq), 1) + gcode
-            upair, inv = np.unique(pair, return_inverse=True)
+            def _codes(col):
+                if isinstance(col.dtype, pd.CategoricalDtype):
+                    codes = col.cat.codes.to_numpy()
+                    if not (codes < 0).any():
+                        # -1 marks NaN entries; those must go through the
+                        # factorize path so NaN stays a real category
+                        return codes, col.cat.categories
+                return pd.factorize(col, use_na_sentinel=False)
+
+            kcode, kuniq = _codes(chunk["kind"])
+            gcode, guniq = _codes(chunk["group"])
+            ng = max(len(guniq), 1)
+            pair = kcode.astype(np.int64) * ng + gcode
+            upair, first_idx, inv = np.unique(
+                pair, return_index=True, return_inverse=True
+            )
+            # assign cids in FIRST-APPEARANCE order: cid_of insertion
+            # order defines group order downstream (the 'all' reduce and
+            # extras concatenation must match the host stream's order;
+            # categorical codes alone would impose category order)
+            for p in upair[np.argsort(first_idx)]:
+                ensure_cid(kuniq[p // ng], guniq[p % ng])
             ucid = np.array(
                 [
-                    ensure_cid(
-                        kuniq[p // max(len(guniq), 1)],
-                        guniq[p % max(len(guniq), 1)],
-                    )
+                    cid_of[(kuniq[p // ng], guniq[p % ng])]
                     for p in upair
                 ],
                 dtype=np.int32,
