@@ -91,7 +91,8 @@ def parse_args_plotpuppy():
         "--plot_ticks", action="store_true", default=False
     )
     parser.add_argument(
-        "--output", "--outname", default="pup.pdf", type=str, dest="output"
+        "--output", "-o", "--outname", default="pup.pdf", type=str,
+        dest="output",
     )
     parser.add_argument(
         "-l",

@@ -33,6 +33,24 @@ except Exception:  # pragma: no cover - native ext is optional
 DEFAULT_BAND_EDGES = np.append([0], 50000 * 2 ** np.arange(30))
 
 
+def _chrom_as_str_categorical(col):
+    """Chromosome column -> categorical with python-str categories.
+
+    Equivalent to the reference's ``astype(str)`` (coolpup.py:270, 276) for
+    every downstream consumer (equality filters, set/unique membership,
+    grouping, label formatting), but O(unique) instead of O(rows): a plain
+    astype(str) on a 2M-row Arrow-backed bedpe column iterates per element
+    (~3 s of the round-4 bedpe wall was exactly that)."""
+    if isinstance(col.dtype, pd.CategoricalDtype):
+        cat = col
+    else:
+        cat = col.astype("category")
+    cats = cat.cat.categories
+    if not all(isinstance(x, str) for x in cats):
+        cat = cat.cat.rename_categories([str(x) for x in cats])
+    return cat
+
+
 def bin_distance_intervals(intervals, band_edges="default"):
     """Annotate a 'distance_band' (lo, hi) tuple per row from 'distance'
     (reference coolpup.py:28–51)."""
@@ -55,7 +73,11 @@ def assign_groups(intervals, groupby=None):
     UNIQUE value combination and stored as a categorical: building millions
     of per-row python tuples dominated host time at scale."""
     if not groupby:
-        intervals["group"] = "all"
+        # categorical constant: a plain string column makes every engine
+        # chunk re-factorize millions of identical 'all' objects
+        intervals["group"] = pd.Categorical.from_codes(
+            np.zeros(len(intervals), np.int8), categories=["all"]
+        )
         return intervals
     codes, uniques = zip(
         *(
@@ -190,7 +212,9 @@ class CoordCreator:
 
         if self.kind == "bed":
             assert {"chrom", "start", "end"}.issubset(self.intervals.columns)
-            self.intervals["chrom"] = self.intervals["chrom"].astype(str)
+            self.intervals["chrom"] = _chrom_as_str_categorical(
+                self.intervals["chrom"]
+            )
             self.intervals["center"] = (
                 self.intervals["start"] + self.intervals["end"]
             ) / 2
@@ -207,7 +231,17 @@ class CoordCreator:
                 "end2",
             }.issubset(self.intervals.columns)
             for c in ("chrom1", "chrom2"):
-                self.intervals[c] = self.intervals[c].astype(str)
+                self.intervals[c] = _chrom_as_str_categorical(
+                    self.intervals[c]
+                )
+            # sort NOW, while the frame is just the input columns (few
+            # consolidated blocks -> cheap take); the derived
+            # center/distance/exp_* columns are row-wise, so computing
+            # them after the sort is identical — sorting the 14-column
+            # frame in _binnify instead cost ~1.8 s at 2M bedpe rows
+            self.intervals = self._lex_sorted(
+                self.intervals, ["chrom1", "chrom2", "start1", "start2"]
+            )
             self.intervals["center1"] = (
                 self.intervals["start1"] + self.intervals["end1"]
             ) / 2
@@ -218,9 +252,9 @@ class CoordCreator:
                 self.intervals["center2"] - self.intervals["center1"]
             )
             dist = self.intervals["distance"].abs()
-            self.intervals = self.intervals[
-                (self.mindist <= dist) & (dist <= self.maxdist)
-            ].reset_index(drop=True)
+            keep = (self.mindist <= dist) & (dist <= self.maxdist)
+            if not keep.all():  # all-True take still copies the frame
+                self.intervals = self.intervals[keep].reset_index(drop=True)
             self.intervals = expand_intervals_2d(
                 self.intervals, self.flank, self.resolution, self.rescale_flank
             )
@@ -236,18 +270,19 @@ class CoordCreator:
             return
         self.empty = False
 
+        # set(Series) iterates every row; unique() is O(categories)
         if self.kind == "bed":
-            basechroms = set(self.intervals["chrom"])
+            basechroms = set(self.intervals["chrom"].unique())
         else:
             if self.local:
                 raise ValueError("Can't make local with both sides of loops defined")
             if self.trans:
-                basechroms = set(self.intervals["chrom1"]) | set(
-                    self.intervals["chrom2"]
+                basechroms = set(self.intervals["chrom1"].unique()) | set(
+                    self.intervals["chrom2"].unique()
                 )
             else:
-                basechroms = set(self.intervals["chrom1"]) & set(
-                    self.intervals["chrom2"]
+                basechroms = set(self.intervals["chrom1"].unique()) & set(
+                    self.intervals["chrom2"].unique()
                 )
         self.basechroms = natsorted(basechroms)
         if self.chroms == "all":
@@ -314,29 +349,75 @@ class CoordCreator:
             return df.sample(self.subset, random_state=self.seed)
         return df
 
+    @staticmethod
+    def _lex_sorted(intervals, cols):
+        """sort_values(cols) via raw arrays: an O(n) vectorized
+        already-sorted check first (free for pre-sorted files and for the
+        engine's own re-checks), else np.lexsort + ONE block-wise
+        positional take — pandas sort_values re-consolidated the whole
+        block manager (~0.9 s of the round-4 bedpe wall at 2M rows).
+        Categorical chroms sort by category code."""
+        keys = []
+        for c in cols:
+            col = intervals[c]
+            if isinstance(col.dtype, pd.CategoricalDtype):
+                keys.append(col.cat.codes.to_numpy())
+            else:
+                keys.append(col.to_numpy())
+        n = len(intervals)
+        if n <= 1:
+            return intervals.reset_index(drop=True)
+        # lexicographically sorted iff at each boundary the first
+        # non-tied key increases
+        tie = np.ones(n - 1, bool)
+        unsorted = False
+        for k in keys:
+            a, b = k[:-1], k[1:]
+            if not tie.any():
+                break
+            if ((a > b) & tie).any():
+                unsorted = True
+                break
+            tie &= a == b
+        if not unsorted:
+            return intervals.reset_index(drop=True)
+        order = np.lexsort(tuple(reversed(keys)))
+        return intervals.take(order).reset_index(drop=True)
+
     def _binnify(self, intervals):
         """Snap expanded intervals to the bin grid (reference
         coolpup.py:489–527)."""
         res = self.resolution
+
+        def _floor_div(col):
+            a = col.to_numpy()
+            if a.dtype.kind in "iu":  # int // == floor for any sign
+                return a.astype(np.int64) // res
+            return np.floor(a / res).astype(int)
+
+        def _ceil_div(col):
+            a = col.to_numpy()
+            if a.dtype.kind in "iu":
+                return -((-a.astype(np.int64)) // res)
+            return np.ceil(a / res).astype(int)
+
         if self.kind == "bed":
-            intervals = intervals.sort_values(["chrom", "start"]).reset_index(
-                drop=True
-            )
-            intervals["stBin"] = np.floor(intervals["exp_start"] / res).astype(int)
-            intervals["endBin"] = np.ceil(intervals["exp_end"] / res).astype(int)
+            intervals = self._lex_sorted(intervals, ["chrom", "start"])
+            intervals["stBin"] = _floor_div(intervals["exp_start"])
+            intervals["endBin"] = _ceil_div(intervals["exp_end"])
             intervals["exp_start"] = intervals["stBin"] * res
             intervals["exp_end"] = intervals["endBin"] * res
         else:
-            intervals = intervals.sort_values(
-                ["chrom1", "chrom2", "start1", "start2"]
-            ).reset_index(drop=True)
+            intervals = self._lex_sorted(
+                intervals, ["chrom1", "chrom2", "start1", "start2"]
+            )
             for side in ("1", "2"):
-                intervals[f"stBin{side}"] = np.floor(
-                    intervals[f"exp_start{side}"] / res
-                ).astype(int)
-                intervals[f"endBin{side}"] = np.ceil(
-                    intervals[f"exp_end{side}"] / res
-                ).astype(int)
+                intervals[f"stBin{side}"] = _floor_div(
+                    intervals[f"exp_start{side}"]
+                )
+                intervals[f"endBin{side}"] = _ceil_div(
+                    intervals[f"exp_end{side}"]
+                )
                 intervals[f"exp_start{side}"] = intervals[f"stBin{side}"] * res
                 intervals[f"exp_end{side}"] = intervals[f"endBin{side}"] * res
         return intervals

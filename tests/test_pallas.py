@@ -299,3 +299,210 @@ def test_pipelined_run_non_pow2_slabs():
             got["sum"][:8], want["sum"][:8], rtol=1e-6, atol=1e-6,
             err_msg=f"n_slabs={n_slabs}",
         )
+
+
+def test_cast_tiles_f16_exact_and_lossy():
+    """Wire-compression safety gates (ops/tiles.cast_tiles_f16):
+    integer counts round-trip bit-exactly under the pow2 scale; lossy
+    mode bounds the relative error at 2^-11; inexact payloads are
+    REFUSED in exact mode (ship f32)."""
+    from coolpuppy_tpu.ops.tiles import cast_tiles_f16
+
+    rng = np.random.default_rng(3)
+    # raw integer counts <= 2048: always exact
+    counts = rng.poisson(5.0, (7, 32, 32)).astype(np.float32)
+    wire, inv = cast_tiles_f16(counts, "exact")
+    np.testing.assert_array_equal(
+        wire.astype(np.float32) * inv, counts
+    )
+    # counts that need > 11 significand bits: exact mode must refuse
+    big = counts.copy()
+    big[0, 0, 0] = 30011.0  # odd, > 2^14 -> not f16-representable
+    assert cast_tiles_f16(big, "exact") is None
+    # ... but lossy mode ships them at bounded relative error
+    wire, inv = cast_tiles_f16(big, "lossy")
+    rt = wire.astype(np.float32) * inv
+    err = np.abs(rt - big) / np.maximum(np.abs(big), 1e-30)
+    assert float(err.max()) <= 2.0 ** -11 + 1e-7
+    # balanced-like floats, tiny magnitudes: the pow2 scale keeps them in
+    # f16's normal range (no subnormal precision collapse)
+    small = (rng.gamma(1.0, 1.0, (5, 16, 16)) * 1e-6).astype(np.float32)
+    wire, inv = cast_tiles_f16(small, "lossy")
+    rt = wire.astype(np.float32) * inv
+    nz = small > 0
+    err = np.abs(rt[nz] - small[nz]) / small[nz]
+    assert float(err.max()) <= 2.0 ** -11 + 1e-7
+    # NaN pixels (NaN balancing weights fold into raw tiles) survive
+    nanny = counts.copy()
+    nanny[1, 2, 3] = np.nan
+    wire, inv = cast_tiles_f16(nanny, "exact")
+    rt = wire.astype(np.float32) * inv
+    assert np.isnan(rt[1, 2, 3])
+    np.testing.assert_array_equal(rt, nanny)
+    # off switch
+    assert cast_tiles_f16(counts, False) is None
+
+
+def test_pipelined_run_f16_wire():
+    """tile_f16 wire compression through the full pipelined dispatch:
+    "exact" on integer counts is bit-identical to the f32 wire; "lossy"
+    on float values stays within the f16 tolerance."""
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+    from coolpuppy_tpu.ops.tiles import build_tile_stack_sym
+
+    rng = np.random.default_rng(17)
+    n, W, B = 900, 21, 128
+    S = 2000
+    valid = (rng.random(n) > 0.05).astype(np.float32)
+    evec = (4.0 / (1.0 + np.arange(n))).astype(np.float32)
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = rng.integers(0, n - W, S).astype(np.int32)
+    cid = rng.integers(0, 4, S).astype(np.int32)
+    base_kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True,
+                   interpret=True)
+
+    def run(coo, **kw):
+        sym = build_tile_stack_sym(
+            coo, B, r1=r1, r2=r2, window1=W, window2=W
+        )
+        _, total = PallasPileupSession.pipelined_run(
+            sym, valid, valid, evec, dict(base_kw, **kw), r1, r2, cid,
+            n_slabs=4,
+        )
+        return PallasPileupSession.finalize([total])
+
+    # integer counts (unbalanced cooler): exact mode, bit-identical
+    dense = (rng.poisson(2.0, (n, n)) * (rng.random((n, n)) < 0.2)).astype(
+        np.float32
+    )
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    want = run(coo)
+    got = run(coo, tile_f16="exact")
+    for k in ("sum", "num", "poison"):
+        np.testing.assert_array_equal(got[k][:8], want[k][:8], err_msg=k)
+
+    # float values (balanced cooler): lossy mode at f16 tolerance
+    densef = rng.gamma(1.0, 1.0, (n, n)) * (rng.random((n, n)) < 0.2)
+    densef = np.triu(densef) + np.triu(densef, 1).T
+    coof = sp.coo_matrix(densef)
+    wantf = run(coof)
+    gotf = run(coof, tile_f16="lossy")
+    np.testing.assert_array_equal(gotf["num"][:8], wantf["num"][:8])
+    fin = np.isfinite(wantf["sum"][:8])
+    np.testing.assert_allclose(
+        gotf["sum"][:8][fin], wantf["sum"][:8][fin], rtol=2e-3, atol=1e-4
+    )
+
+
+def test_device_normalize_f16_wire():
+    """f16 wire through normalize_tile_stack_device (the non-sym upload
+    path bedpe/trans streams ride): exact on integer counts, bounded
+    relative error on floats."""
+    from coolpuppy_tpu.ops.tiles import (
+        normalize_tile_stack,
+        normalize_tile_stack_device,
+    )
+
+    rng = np.random.default_rng(21)
+    n, W, B = 300, 11, 128
+    dense = (rng.poisson(2.0, (n, n)) * (rng.random((n, n)) < 0.3)).astype(
+        np.float32
+    )
+    dense = np.triu(dense) + np.triu(dense, 1).T
+    coo = sp.coo_matrix(dense)
+    r1 = rng.integers(0, n - W, 64).astype(np.int32)
+    r2 = rng.integers(0, n - W, 64).astype(np.int32)
+    ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
+    valid = (rng.random(n) > 0.1).astype(np.float32)
+    evec = (10.0 / (1.0 + np.arange(n))).astype(np.float32)
+    want_c, want_n = normalize_tile_stack(
+        ts, valid, valid, evec=evec, ooe=True, cis=True, ignore_diags=2
+    )
+    got_c, got_n = normalize_tile_stack_device(
+        ts, valid, valid, evec=evec, ooe=True, cis=True, ignore_diags=2,
+        f16_mode="exact",
+    )
+    fin = np.isfinite(want_c)
+    np.testing.assert_array_equal(np.asarray(got_n), want_n)
+    np.testing.assert_allclose(
+        np.asarray(got_c)[fin], want_c[fin], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_coo_tile_stack_matches_dense():
+    """Sparse COO wire (CooTileStack + device scatter) must reproduce the
+    dense slab scatter bit-for-bit at f32 (unique-pixel cooler slabs), and
+    the session built from it must match the dense session."""
+    from coolpuppy_tpu.io.cool import PixelSlab
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+    from coolpuppy_tpu.ops.tiles import (
+        build_tile_stack_coo,
+        build_tile_stack_slab,
+    )
+
+    rng = np.random.default_rng(31)
+    n1, n2 = 700, 500
+    nnz = 4000
+    rows = rng.integers(0, n1, nnz).astype(np.int64)
+    cols = rng.integers(0, n2, nnz).astype(np.int64)
+    key = rows * n2 + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols = rows[first], cols[first]
+    vals = (rng.poisson(3.0, len(rows)) + 1).astype(np.float32)
+    weights = rng.uniform(0.5, 1.5, max(n1, n2))
+    weights[rng.random(max(n1, n2)) < 0.05] = np.nan
+    slab = PixelSlab(
+        rows=rows, cols=cols, vals=vals, lo1=0, lo2=0,
+        shape=(n1, n2), weights=weights, mirror=False,
+    )
+    B = 128
+    nr, nc = -(-n1 // B), -(-n2 // B)
+    want = np.arange(nr * nc, dtype=np.int64)
+
+    dense = build_tile_stack_slab(slab, B, want=want)
+    coo = build_tile_stack_coo(slab, B, want)
+    np.testing.assert_array_equal(coo.tile_map, dense.tile_map)
+    # f32 rounding-order only (COO folds weights in f64 then casts once;
+    # the native scatter folds in f32)
+    np.testing.assert_allclose(
+        np.nan_to_num(coo.expand_host(), nan=-1.0),
+        np.nan_to_num(dense.tiles, nan=-1.0),
+        rtol=2e-6, atol=1e-6,
+    )
+
+    # full session parity (device scatter + normalize + kernel)
+    W = 11
+    S = 400
+    r1 = rng.integers(0, n1 - W, S).astype(np.int32)
+    r2 = rng.integers(0, n2 - W, S).astype(np.int32)
+    cid = rng.integers(0, 4, S).astype(np.int32)
+    valid1 = (~np.isnan(weights[:n1])).astype(np.float32)
+    valid2 = (~np.isnan(weights[:n2])).astype(np.float32)
+    evec = np.array([np.nan], np.float32)
+    kw = dict(W=W, capacity=8, cis=False, ignore_diags=2, ooe=False,
+              interpret=True)
+    want_out = PallasPileupSession(
+        dense, valid1, valid2, evec, dict(kw)
+    ).run_many(r1, r2, cid)
+    got_out = PallasPileupSession(
+        coo, valid1, valid2, evec, dict(kw)
+    ).run_many(r1, r2, cid)
+    for k in ("sum", "num", "poison"):
+        np.testing.assert_allclose(
+            got_out[k][:8], want_out[k][:8], rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+
+    # f16 wire on integer counts stays exact after the weight fold? No —
+    # weighted values are floats; lossy tolerance applies
+    coo16 = build_tile_stack_coo(slab, B, want, f16_mode="lossy")
+    got16 = PallasPileupSession(
+        coo16, valid1, valid2, evec, dict(kw)
+    ).run_many(r1, r2, cid)
+    np.testing.assert_array_equal(got16["num"][:8], want_out["num"][:8])
+    fin = np.isfinite(want_out["sum"][:8])
+    np.testing.assert_allclose(
+        got16["sum"][:8][fin], want_out["sum"][:8][fin],
+        rtol=2e-3, atol=1e-4,
+    )

@@ -237,3 +237,25 @@ def test_pallas_stripes_with_controls(toy):
     cb = np.asarray(b["coordinates"], dtype=object)
     assert ca.shape == cb.shape == (a["n"], 6)
     assert (ca == cb).all()
+
+
+def test_tile_f16_wire_engine_parity(toy):
+    """Engine-level f16 tile wire: force the mode past the interpret gate
+    (the gate keeps CPU goldens exact; hardware runs it by default) and
+    check the full pileupsWithControl output at f16 tolerance."""
+    clr, dense, weights = toy
+    pu32 = _run(clr, "pallas-interpret", expected=False)
+    want = pu32.pileupsWithControl()
+    pu16 = _run(clr, "pallas-interpret", expected=False)
+    pu16._tile_f16_mode = lambda: "lossy"  # balanced toy cooler values
+    got = pu16.pileupsWithControl()
+    a = want.set_index("group").loc["all"]
+    b = got.set_index("group").loc["all"]
+    assert a["n"] == b["n"] > 0
+    np.testing.assert_array_equal(a["num"], b["num"])
+    fin = np.isfinite(np.asarray(a["data"], float))
+    np.testing.assert_allclose(
+        np.asarray(b["data"], float)[fin],
+        np.asarray(a["data"], float)[fin],
+        rtol=2e-3, atol=1e-5,
+    )

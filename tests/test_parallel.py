@@ -742,3 +742,59 @@ def test_engine_mesh_pallas_stripes_replicated(tmp_path):
         tmp_path, "ms2.cool", {"chrA": 30_000_000}, 100_000, 25, 16
     )
     assert getattr(pu, "_rowshard_regions", 0) == 0
+
+
+def test_engine_mesh_pallas_by_window_blocked(tmp_path):
+    """by-window group explosion on the mesh: G exceeds one accumulator
+    bank, so the mesh pallas path runs the cid-sorted BLOCK loop per
+    device (round 5 — mesh runs previously abandoned the kernel here).
+    Must match the single-device XLA by-window output exactly per window."""
+    import pandas as pd
+
+    from coolpuppy_tpu.coords import CoordCreator
+    from coolpuppy_tpu.engine.pileup import PileUpper
+
+    clr, dense, weights = make_toy_cooler(
+        str(tmp_path / "mpw.cool"), chromsizes={"chrA": 30_000_000},
+        binsize=100_000, seed=7,
+    )
+    n_bins = 300
+    rng = np.random.default_rng(7)
+    starts = np.sort(
+        rng.choice(np.arange(10, n_bins - 10), 24, replace=False)
+    )
+    feats = pd.DataFrame(
+        {
+            "chrom": "chrA",
+            "start": starts * 100_000,
+            "end": (starts + 1) * 100_000,
+            "name": "x",
+            "score": 0,
+            "strand": rng.choice(["+", "-"], 24),
+        }
+    )
+
+    def run(backend, mesh, block=None):
+        CC = CoordCreator(
+            features=feats, resolution=100_000, features_format="bed",
+            flank=300_000, mindist=0, nshifts=1, seed=0,
+        )
+        pu = PileUpper(clr, CC, control=True, mesh=mesh, backend=backend)
+        if block:
+            pu._pallas_block_groups = block
+        return pu.pileupsByWindowWithControl()
+
+    mesh = make_loci_mesh(jax.devices())
+    meshed = run("pallas-interpret", mesh, block=8)  # G ~ 2x24 >> 8
+    single = run("xla", None)
+    key = ["chrom", "start", "end"]
+    a = single.set_index(key).sort_index()
+    b = meshed.set_index(key).sort_index()
+    assert list(a.index) == list(b.index)
+    for idx in a.index:
+        assert a.loc[idx, "n"] == b.loc[idx, "n"]
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(a.loc[idx, "data"], float)),
+            np.nan_to_num(np.asarray(b.loc[idx, "data"], float)),
+            rtol=1e-4, atol=1e-7,
+        )
