@@ -194,7 +194,7 @@ def bench_pallas(coo, r1, r2, gid, valid, evec, W, chunk, repeats=5):
     def run_device():
         total = None
         for flat in staged:
-            out = step(flat, session.ctiles_dev, session.ntiles_dev)
+            out = step(flat, session.stiles_dev)
             total = (
                 out if total is None else jax.tree.map(jnp.add, total, out)
             )
@@ -927,14 +927,23 @@ def bench_genome(n_chroms=20, bins_per=13_500, binsize=10_000,
         n = int(pup.loc[pup["orientation"] == "all", "n"].iloc[0]) + int(
             pup.loc[pup["orientation"] == "all", "control_n"].iloc[0]
         )
-        return n / wall, wall, n
+        import importlib
+
+        _ep = importlib.import_module("coolpuppy_tpu.engine.pileup")
+        phases = {
+            k: round(v, 2)
+            for k, v in getattr(
+                getattr(_ep, "LAST_TIMERS", None), "seconds", {}
+            ).items()
+        }
+        return n / wall, wall, n, phases
 
     run(feats.iloc[: per])  # warm compiles on one chrom's worth
-    rate, wall, n = run(feats)
-    rate2, wall2, _ = run(feats)
+    rate, wall, n, phases = run(feats)
+    rate2, wall2, _, phases2 = run(feats)
     if rate2 > rate:
-        rate, wall = rate2, wall2
-    return rate, wall, n, len(feats)
+        rate, wall, phases = rate2, wall2, phases2
+    return rate, wall, n, len(feats), phases
 
 
 def bench_reference_loop(csr, r1, r2, valid, evec, W, n=20_000):
@@ -1085,7 +1094,7 @@ def main():
     if args.genome:
         import jax
 
-        rate, wall, n, n_feats = bench_genome()
+        rate, wall, n, n_feats, phases = bench_genome()
         up, down = probe_tunnel()
         print(
             json.dumps(
@@ -1101,6 +1110,14 @@ def main():
                         "chroms": 20,
                         "nshifts": 10,
                         "wall_s": round(wall, 2),
+                        "phase_seconds": phases,
+                        "phase_note": (
+                            "ingest (HDF5 slab reads) and device overlap "
+                            "via the region prefetch pipeline; wall < "
+                            "their sum. The remainder is host "
+                            "coordinate generation + staging/fetch "
+                            "latency on the tunnel."
+                        ),
                         "tunnel_mbps_up": up,
                         "tunnel_mbps_down": down,
                     },

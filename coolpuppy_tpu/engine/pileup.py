@@ -93,12 +93,22 @@ def _stage_pool():
     return _STAGE_POOL
 
 
-def _stack_merge_fetch(outs, half):
+def _stack_merge_fetch(outs, half, f16=False, lazy=False):
     """Stack per-block accumulator dicts, collapse the flip bank ON DEVICE
     (anti-transpose of slots [half:2*half] added to [0:half] — the device
     twin of ops/gather.merge_flip_banks), and fetch once: by-window runs
     carry G x [W, W] x 2 banks x 2 keys of accumulators, and fetching the
-    un-merged banks doubled the dominant device->host payload."""
+    un-merged banks doubled the dominant device->host payload.
+
+    ``f16=True`` halves the fetch again via a per-key pow2-scaled f16
+    cast computed ON DEVICE (max |finite| scaled near 2^13, the same
+    <=4.9e-4 relative tolerance as the stripe/tile f16 wire; pow2
+    scaling is exact both ways, +inf poison survives). The engine gates
+    it on balanced/OOE values. ``lazy=True`` starts the device->host
+    copies and returns handles — call ``_stack_merge_materialize`` later
+    so the transfer overlaps subsequent block dispatches (the
+    synchronous fetch was ~3 s of a 7.7 s by-window region on a
+    ~20 MB/s link). Returns {key: (wire_array, inv_scale_or_None)}."""
     import jax
     import jax.numpy as jnp
 
@@ -108,8 +118,36 @@ def _stack_merge_fetch(outs, half):
         lo = v[:, :half]
         hi = v[:, half : 2 * half]
         hi = jnp.swapaxes(jnp.flip(hi, axis=(-2, -1)), -2, -1)
-        merged[k] = lo + hi
-    return {k: jax.device_get(v) for k, v in merged.items()}
+        m = lo + hi
+        if f16:
+            fin = jnp.where(jnp.isfinite(m), jnp.abs(m), 0.0)
+            mx = jnp.max(fin)
+            ex = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30)))
+            scale = jnp.where(mx > 0, jnp.exp2(13.0 - ex), 1.0)
+            merged[k] = ((m * scale).astype(jnp.float16), 1.0 / scale)
+        else:
+            merged[k] = (m, None)
+    if lazy:
+        for v, _ in merged.values():
+            try:
+                v.copy_to_host_async()
+            except Exception:
+                pass
+        return merged
+    return _stack_merge_materialize(merged)
+
+
+def _stack_merge_materialize(merged):
+    """Host materialization of _stack_merge_fetch handles (f64, unscaled)."""
+    import jax
+
+    out = {}
+    for k, (v, inv) in merged.items():
+        a = np.asarray(jax.device_get(v)).astype(np.float64)
+        if inv is not None:
+            a *= float(jax.device_get(inv))
+        out[k] = a
+    return out
 
 
 def _accumulate_values_frame_keys(extra_sum_funcs):
@@ -649,6 +687,21 @@ class PileUpper:
         the region's pixel bytes (round-4 trans was bound there)."""
         slab = dev["slab"]
         if dev["cis"] and getattr(slab, "mirror", False):
+            r1 = kw.get("r1")
+            if r1 is not None and len(r1) > 2_000_000 and not self.rescale:
+                # huge window lists (by-window duplicates every pair): a
+                # |row-col| band predicate from ONE max-abs-diff pass
+                # replaces touched_tiles over the coords (~1.3 s at 14M
+                # windows). Cis windows are W x W, so band = max bin
+                # distance + W margin covers every corner tile.
+                dd = np.abs(
+                    np.asarray(r1, np.int64) - np.asarray(kw["r2"], np.int64)
+                )
+                band = min(
+                    int(dd.max(initial=0)) + self._window_bins() + 8,
+                    int(dev["n1"]),
+                )
+                kw = {"band": band}
             return build_tile_stack_slab_sym(slab, B, **kw)
         want = kw.get("want")
         if want is not None and not getattr(slab, "mirror", False):
@@ -734,7 +787,10 @@ class PileUpper:
         W = self._window_bins()
         if not self._use_pallas(dev, W):
             return None
-        max_tiles = 1536 if prefetch else None
+        # caps sized against HBM for the SINGLE normalized stack (the
+        # round-5 NaN-encoded stack halved the footprint of the old
+        # (contribution, num) pair, so twice the tiles fit)
+        max_tiles = 3072 if prefetch else None
         if (
             region2 == region1
             and self.CC.kind == "bed"
@@ -770,8 +826,8 @@ class PileUpper:
                 band_bins = n1
             n_tile_rows = -(-n1 // PALLAS_B)
             est_tiles = n_tile_rows * (2 * (band_bins // PALLAS_B + 1) + 1)
-        cap = 6144 if max_tiles is None else max_tiles
-        if est_tiles > cap:  # ~800MB of normalized stacks at 6144
+        cap = 12288 if max_tiles is None else max_tiles
+        if est_tiles > cap:  # ~800MB of normalized stack at 12288
             return None
         interpret = self.backend == "pallas-interpret"
         # must mirror _pallas_accumulate's capacity pinning so a fallback
@@ -1733,13 +1789,18 @@ class PileUpper:
                 sorted_cid, np.arange(0, G + half, half)
             )
             out = None
+            # fetch compression + overlap (by-window's wall was this
+            # fetch: ~57 MB of f32 accumulators through a ~20 MB/s link):
+            # pow2-scaled f16 on balanced/OOE values, and each flush's
+            # device->host copy streams while the NEXT 64 blocks dispatch
+            fetch_f16 = self._stripe_f16_effective() and not interpret
+            pending = []
 
-            def flush(block_outs):
+            def drain():
                 nonlocal out
-                stacked = _stack_merge_fetch(
-                    tuple(o for _, o in block_outs), half
-                )
-                for i, (base, _) in enumerate(block_outs):
+                bases, handles = pending.pop(0)
+                stacked = _stack_merge_materialize(handles)
+                for i, base in enumerate(bases):
                     merged = {
                         k: np.asarray(v[i], np.float64)
                         for k, v in stacked.items()
@@ -1755,6 +1816,18 @@ class PileUpper:
                     span = min(half, G - base)
                     for k, v in merged.items():
                         out[k][base : base + span] = v[:span]
+
+            def flush(block_outs):
+                handles = _stack_merge_fetch(
+                    tuple(o for _, o in block_outs), half,
+                    f16=fetch_f16, lazy=True,
+                )
+                pending.append(([b for b, _ in block_outs], handles))
+                # keep ONE flush in flight: its transfer overlaps the
+                # next flush's dispatches while device accumulator
+                # memory stays bounded at two flush payloads
+                while len(pending) > 1:
+                    drain()
 
             # flush every 64 blocks: keeps the async-dispatch + stacked-
             # fetch win while bounding live device accumulators (huge G at
@@ -1779,6 +1852,8 @@ class PileUpper:
                     block_outs = []
             if block_outs:
                 flush(block_outs)
+            while pending:
+                drain()
 
         self._pallas_side_outputs(
             session, tile_stack, dev, arr, ntot, W, G, emit_expected,
@@ -2609,7 +2684,7 @@ class PileUpper:
             ts = build_tile_stack_slab(
                 dev["slab"], B, r1=r1, r2=r2, window1=h1, window2=w2
             )
-            ctiles, ntiles = normalize_tile_stack(
+            stiles = normalize_tile_stack(
                 ts,
                 dev["valid1"],
                 dev["valid2"],
@@ -2628,7 +2703,7 @@ class PileUpper:
                 from ..ops.tiles import assemble_windows_batch
 
                 data_all = assemble_windows_batch(
-                    ctiles, ntiles, ts.tile_map, B, r1, r2, W
+                    stiles, ts.tile_map, B, r1, r2, W
                 ) if len(chunk) else None
 
             # lightweight record dicts: plain per-column numpy arrays +
@@ -2653,16 +2728,10 @@ class PileUpper:
                 if data_all is not None:
                     snip["data"] = data_all[i]
                 else:
-                    contrib = assemble_window(
-                        ctiles, ts.tile_map, B, a, b, h, w
-                    )
-                    counted = assemble_window(
-                        ntiles, ts.tile_map, B, a, b, h, w
-                    )
-                    # counted pixels carry their value; poison (+inf)
-                    # pixels keep the inf; the rest is the reference's NaN
-                    snip["data"] = np.where(
-                        (counted > 0) | np.isinf(contrib), contrib, np.nan
+                    # NaN-encoded stack: the cut IS the reference snip
+                    # (masked -> NaN, +inf poison kept)
+                    snip["data"] = assemble_window(
+                        stiles, ts.tile_map, B, a, b, h, w
                     ).astype(float)
 
                 if self.coverage_norm:
@@ -2843,7 +2912,7 @@ class PileUpper:
             ts = build_tile_stack_slab(
                 dev["slab"], B, r1=r1, r2=r2, window1=W, window2=W
             )
-            ctiles, ntiles = normalize_tile_stack(
+            stiles = normalize_tile_stack(
                 ts,
                 dev["valid1"],
                 dev["valid2"],
@@ -2855,8 +2924,7 @@ class PileUpper:
             # pooled buffers: data is valid until the NEXT chunk's fill —
             # hooks that retain it across chunks must copy (documented)
             data = assemble_windows_batch(
-                ctiles, ntiles, ts.tile_map, B, r1, r2, W,
-                pool="batchhook",
+                stiles, ts.tile_map, B, r1, r2, W, pool="batchhook",
             )
             if "flip" in chunk.columns:
                 fl = chunk["flip"].values.astype(bool)
@@ -3426,6 +3494,10 @@ class PileUpper:
                     )
                 pileups.append(_run_one(r1, r2, dev))
         timers.log_summary()
+        # last-run phase totals, readable by benches/tools after pileup()
+        # (which constructs its own PileUpper): SURVEY §5 observability
+        global LAST_TIMERS
+        LAST_TIMERS = timers
 
         if multihost:
             from ..parallel.distributed import allreduce_region_maps

@@ -4,22 +4,30 @@ The XLA path (ops/gather.py) materializes a 2Bx2B superwindow per snip, which
 moves ~40x more HBM bytes than the windows themselves and tops out on
 per-snip dynamic-slice overhead. This kernel exploits snip locality instead:
 
-1. The host pre-normalizes the block-sparse tile stack ONCE per region
-   (ops/tiles.py::normalize_tile_stack): bad-bin masks, diagonal masks and
-   OOE expected division are baked into a *contribution* stack (poison from
-   division-by-zero kept as +inf, like the reference's accumulators,
-   coolpup.py:1154–1156) and a *num* stack (per-pixel finite counts). This
-   keeps the device kernel to ONE shape for every normalization mode and
-   makes host work O(touched tiles), amortized over all snips.
+1. The host (or device) pre-normalizes the block-sparse tile stack ONCE
+   per region (ops/tiles.py::normalize_tile_stack) into a SINGLE
+   NaN-encoded stack: bad-bin masks, diagonal masks and OOE expected
+   division baked in; masked-out/NaN pixels carry NaN, division-by-zero
+   poison stays +inf (like the reference's accumulators,
+   coolpup.py:1154–1156). One stack keeps the device kernel to ONE shape
+   for every normalization mode, halves the DMA/VMEM traffic of the
+   earlier (contribution, num) pair, and makes host work O(touched
+   tiles), amortized over all snips.
 2. The host sorts snips by their tile *quad* (the 2x2 block of B=128 tiles
    their window touches) — near-diagonal loci cluster heavily, so a quad
    averages tens-to-hundreds of snips.
-3. Grid = one step per quad: 8 async DMAs stage the quad's tiles from both
-   stacks into VMEM superwindows, then the per-snip inner loop is two window
-   cuts (aligned pow2 sublane over-slice + dynamic rolls — Mosaic requires
+3. Grid = one step per quad: 4 async DMAs stage the quad's tiles into a
+   VMEM superwindow, then the per-snip inner loop is one window cut
+   (aligned pow2 sublane over-slice + dynamic rolls — Mosaic requires
    provable 8/128 alignment and non-pow2 sublane rolls rotate into tile
-   padding) and two dynamic-indexed accumulates into VMEM-resident [C, W, W]
-   group accumulators (~28M snips/s in isolation).
+   padding), an in-register not-NaN/isfinite split, and two
+   dynamic-indexed accumulates into VMEM-resident [C, W, W] group
+   accumulators. Measured inner-loop rate ~7.1M snips/s per chip at W=21
+   — invariant to removing the second cut, to quad/DMA churn, and to
+   unroll 1/2/4, i.e. bound by the per-snip dependent roll->slice->
+   accumulate latency chain (~135 cycles), not by vector-op count, HBM,
+   or dispatch (see BENCH_REPORT roofline). The single stack still
+   halves stack HBM/DMA and the normalize/staging work.
 4. Per-snip and per-quad scalars ride in SMEM via scalar prefetch;
    accumulator blocks are constant across the sequential TPU grid, so
    accumulation needs no atomics.
@@ -73,8 +81,8 @@ def _make_pallas_call(cfg: PallasGatherConfig):
 
     def kernel(
         k00, k01, k10, k11, qstart, qcount, snip,
-        ctiles_ref, ntiles_ref,
-        sum_ref, num_ref, csup, nsup, sems,
+        stiles_ref,
+        sum_ref, num_ref, ssup, sems,
     ):
         q = pl.program_id(0)
 
@@ -87,26 +95,26 @@ def _make_pallas_call(cfg: PallasGatherConfig):
 
         @pl.when(cnt > 0)
         def _():
-            copies = []
-            for dst, src in ((csup, ctiles_ref), (nsup, ntiles_ref)):
-                copies += [
-                    pltpu.make_async_copy(
-                        src.at[k00[q]], dst.at[0:B, 0:B],
-                        sems.at[len(copies)],
-                    ),
-                    pltpu.make_async_copy(
-                        src.at[k01[q]], dst.at[0:B, B : 2 * B],
-                        sems.at[len(copies) + 1],
-                    ),
-                    pltpu.make_async_copy(
-                        src.at[k10[q]], dst.at[B : 2 * B, 0:B],
-                        sems.at[len(copies) + 2],
-                    ),
-                    pltpu.make_async_copy(
-                        src.at[k11[q]], dst.at[B : 2 * B, B : 2 * B],
-                        sems.at[len(copies) + 3],
-                    ),
-                ]
+            # ONE NaN-encoded stack instead of (contribution, num) pairs:
+            # 4 DMAs and one cut per snip, with num derived in-register
+            # (isfinite) — the second cut was ~45% of the inner loop
+            copies = [
+                pltpu.make_async_copy(
+                    stiles_ref.at[k00[q]], ssup.at[0:B, 0:B], sems.at[0]
+                ),
+                pltpu.make_async_copy(
+                    stiles_ref.at[k01[q]], ssup.at[0:B, B : 2 * B],
+                    sems.at[1],
+                ),
+                pltpu.make_async_copy(
+                    stiles_ref.at[k10[q]], ssup.at[B : 2 * B, 0:B],
+                    sems.at[2],
+                ),
+                pltpu.make_async_copy(
+                    stiles_ref.at[k11[q]], ssup.at[B : 2 * B, B : 2 * B],
+                    sems.at[3],
+                ),
+            ]
             for c in copies:
                 c.start()
             for c in copies:
@@ -130,14 +138,15 @@ def _make_pallas_call(cfg: PallasGatherConfig):
                 a_al = pl.multiple_of((a // 8) * 8, 8)
                 a_off = a - a_al
 
-                def cut(ref):
-                    rows = ref[pl.ds(a_al, WA), :]  # [WA, 2B]
-                    rows = pltpu.roll(rows, -a_off, 0)
-                    return pltpu.roll(rows, -b, 1)[0:W, 0:W]
-
-                sum_ref[g] = sum_ref[g] + cut(csup)
-                num_ref[g] = num_ref[g] + cut(nsup)
-
+                rows = ssup[pl.ds(a_al, WA), :]  # [WA, 2B]
+                rows = pltpu.roll(rows, -a_off, 0)
+                sw = pltpu.roll(rows, -b, 1)[0:W, 0:W]
+                # NaN -> contributes 0, counts 0; +inf poison -> sum only
+                fin = sw == sw  # not-NaN (cheaper than isnan+not)
+                sum_ref[g] = sum_ref[g] + jnp.where(fin, sw, 0.0)
+                num_ref[g] = num_ref[g] + (
+                    fin & (jnp.abs(sw) != jnp.inf)
+                ).astype(jnp.float32)
 
             U = cfg.unroll
 
@@ -164,17 +173,15 @@ def _make_pallas_call(cfg: PallasGatherConfig):
         jax.ShapeDtypeStruct((C, W, W), jnp.float32),
     ]
     scratch = [
-        pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # csup
-        pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # nsup
+        pltpu.VMEM((2 * B, 2 * B), jnp.float32),  # ssup
     ]
-    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(cfg.Q,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ctiles (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ntiles (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stiles (HBM)
         ],
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -193,10 +200,8 @@ def make_pallas_pileup_step(cfg: PallasGatherConfig):
     call = _make_pallas_call(cfg)
 
     @jax.jit
-    def step(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
-        s, n = call(
-            k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles
-        )
+    def step(k00, k01, k10, k11, qstart, qcount, snip, stiles):
+        s, n = call(k00, k01, k10, k11, qstart, qcount, snip, stiles)
         return {"sum": s, "num": n}
 
     return step
@@ -239,10 +244,10 @@ def make_pallas_pileup_step_flat(cfg: PallasGatherConfig, chunk: int):
     Q = cfg.Q
 
     @jax.jit
-    def step(flat, ctiles, ntiles):
+    def step(flat, stiles):
         parts = [flat[i * Q : (i + 1) * Q] for i in range(6)]
         snip = flat[6 * Q : 6 * Q + chunk]
-        s, n = call(*parts, snip, ctiles, ntiles)
+        s, n = call(*parts, snip, stiles)
         return {"sum": s, "num": n}
 
     return step
@@ -251,19 +256,20 @@ def make_pallas_pileup_step_flat(cfg: PallasGatherConfig, chunk: int):
 @lru_cache(maxsize=32)
 def make_stripe_gather(W, B, f16, vertical):
     """Per-snip stripe rows as ONE flat XLA gather from the normalized
-    stacks: element j of snip (a, b)'s horizontal stripe is
-    M[a+mid, b+j] = ctiles[tile_map[(a+mid)//B, (b+j)//B], (a+mid)%B,
+    stack: element j of snip (a, b)'s horizontal stripe is
+    M[a+mid, b+j] = stiles[tile_map[(a+mid)//B, (b+j)//B], (a+mid)%B,
     (b+j)%B]; vertical swaps the roles (rows a+i, column b+mid; callers
     reverse). n*W gathered elements replace the stripe VARIANT of the quad
     kernel, whose per-snip dynamic single-row VMEM stores ran ~50x slower
     than the plain kernel (round-4 profile: 0.9 s per 131k snips).
-    NaN semantics match the reference (masked & zero-count -> NaN, poison
-    +inf kept, coolpup.py:1164–1188)."""
+    The NaN-encoded stack already carries the reference semantics (masked
+    & zero-count -> NaN, poison +inf kept, coolpup.py:1164–1188), so the
+    gathered rows ARE the planes."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def f(ctiles, ntiles, tmap_flat, ncolp, r1, r2):
+    def f(stiles, tmap_flat, ncolp, r1, r2):
         # ROW gather + in-row take_along_axis: whole 128-lane tile rows
         # gather contiguously (2.8x the elementwise flat gather on TPU —
         # XLA scalar gathers are slow), then the W-lane window cuts out of
@@ -287,33 +293,22 @@ def make_stripe_gather(W, B, f16, vertical):
             # column extraction: gather the fixed column's lane from each
             # tile ROW of the two stacked tiles -> operate on the
             # transposed per-tile view so the gather stays row-contiguous
-            ct2 = jnp.swapaxes(ctiles, 1, 2).reshape(-1, B)
-            nt2 = jnp.swapaxes(ntiles, 1, 2).reshape(-1, B)
+            st2 = jnp.swapaxes(stiles, 1, 2).reshape(-1, B)
         else:
             kL = jnp.take(tmap_flat, t1 * ncolp + tA)
             kR = jnp.take(tmap_flat, t1 * ncolp + tA + 1)
-            ct2 = ctiles.reshape(-1, B)
-            nt2 = ntiles.reshape(-1, B)
-        rows_c = jnp.concatenate(
+            st2 = stiles.reshape(-1, B)
+        rows = jnp.concatenate(
             [
-                jnp.take(ct2, kL * B + o1, axis=0),
-                jnp.take(ct2, kR * B + o1, axis=0),
+                jnp.take(st2, kL * B + o1, axis=0),
+                jnp.take(st2, kR * B + o1, axis=0),
             ],
             axis=1,
         )  # [n, 2B]
-        rows_n = jnp.concatenate(
-            [
-                jnp.take(nt2, kL * B + o1, axis=0),
-                jnp.take(nt2, kR * B + o1, axis=0),
-            ],
-            axis=1,
-        )
         idx = (along % B)[:, None] + jnp.arange(W, dtype=along.dtype)[
             None, :
         ]
-        c = jnp.take_along_axis(rows_c, idx, axis=1)
-        nv = jnp.take_along_axis(rows_n, idx, axis=1)
-        out = jnp.where((nv > 0) | jnp.isinf(c), c, jnp.nan)
+        out = jnp.take_along_axis(rows, idx, axis=1)
         return out.astype(jnp.float16) if f16 else out
 
     return f
@@ -331,9 +326,9 @@ def make_stripe_gather_hv(W, B, f16):
     fv = make_stripe_gather(W, B, False, True)
 
     @jax.jit
-    def f(ctiles, ntiles, tmap_flat, ncolp, r1, r2):
-        h = fh(ctiles, ntiles, tmap_flat, ncolp, r1, r2)
-        v = fv(ctiles, ntiles, tmap_flat, ncolp, r1, r2)
+    def f(stiles, tmap_flat, ncolp, r1, r2):
+        h = fh(stiles, tmap_flat, ncolp, r1, r2)
+        v = fv(stiles, tmap_flat, ncolp, r1, r2)
         out = jnp.concatenate([h, v], axis=1)
         return out.astype(jnp.float16) if f16 else out
 
@@ -518,7 +513,7 @@ class PallasPileupSession:
             tiles_dev = _make_coo_scatter(K_pad, B)(
                 idx_d, vals_d, tile_stack.inv_scale
             )
-            self.ctiles_dev, self.ntiles_dev = normalize_tiles_device(
+            self.stiles_dev = normalize_tiles_device(
                 tiles_dev,
                 tile_stack.tile_map,
                 B,
@@ -550,7 +545,7 @@ class PallasPileupSession:
             tiles_dev = expand_sym_device(
                 tile_stack, k_pad=K_pad, f16_mode=tile_f16
             )
-            self.ctiles_dev, self.ntiles_dev = normalize_tiles_device(
+            self.stiles_dev = normalize_tiles_device(
                 tiles_dev,
                 tile_stack.tile_map,
                 B,
@@ -591,7 +586,7 @@ class PallasPileupSession:
         if device_normalize:
             from .tiles import normalize_tile_stack_device
 
-            self.ctiles_dev, self.ntiles_dev = normalize_tile_stack_device(
+            self.stiles_dev = normalize_tile_stack_device(
                 tile_stack,
                 valid1,
                 valid2,
@@ -603,7 +598,7 @@ class PallasPileupSession:
                 f16_mode=tile_f16,
             )
         else:
-            ctiles, ntiles = normalize_tile_stack(
+            stiles = normalize_tile_stack(
                 tile_stack,
                 valid1,
                 valid2,
@@ -613,20 +608,18 @@ class PallasPileupSession:
                 ignore_diags=ignore_diags,
                 frame_shift=frame_shift,
             )
-            self.ctiles_dev = jax.device_put(ctiles)
-            self.ntiles_dev = jax.device_put(ntiles)
+            self.stiles_dev = jax.device_put(stiles)
 
     @classmethod
-    def _from_stacks(cls, tile_stack, ctiles_dev, ntiles_dev, cfg_kw):
-        """Session over ALREADY-device-resident normalized stacks."""
+    def _from_stacks(cls, tile_stack, stiles_dev, cfg_kw):
+        """Session over an ALREADY-device-resident normalized stack."""
         self = cls.__new__(cls)
         self.tile_stack = tile_stack
         cfg_kw = dict(cfg_kw)
         for k in ("ooe", "cis", "ignore_diags", "frame_shift", "tile_f16"):
             cfg_kw.pop(k, None)
         self.cfg_kw = cfg_kw
-        self.ctiles_dev = ctiles_dev
-        self.ntiles_dev = ntiles_dev
+        self.stiles_dev = stiles_dev
         return self
 
     @classmethod
@@ -769,17 +762,17 @@ class PallasPileupSession:
             m_c = int(max(int(a.max(initial=0)) for a in ks))
             u_c = int(prefix_max_src[m_c])
             s_c = min(u_c // slab_rows, n_slabs - 1)
-            ct, nt = stacks_for(s_c)
+            st = stacks_for(s_c)
             flat = jax.device_put(
                 pack_call_args(ks, qstart, qcount, snips, lo, used,
                                Q_CAP, chunk)
             )
-            out = step(flat, ct, nt)
+            out = step(flat, st)
             total = (
                 out if total is None else jax.tree.map(jnp.add, total, out)
             )
-        ct, nt = stacks_for(n_slabs - 1)
-        session = cls._from_stacks(sym, ct, nt, dict(cfg_kw))
+        st = stacks_for(n_slabs - 1)
+        session = cls._from_stacks(sym, st, dict(cfg_kw))
         return session, total
 
     def run(self, r1, r2, dd0=None, cid=None, fetch=True):
@@ -837,7 +830,7 @@ class PallasPileupSession:
                 flat = fut.result()
                 if c + 1 < len(packs):
                     fut = pool.submit(prep, c + 1)
-                out = step(flat, self.ctiles_dev, self.ntiles_dev)
+                out = step(flat, self.stiles_dev)
                 total = (
                     out
                     if total is None
@@ -886,7 +879,7 @@ class PallasPileupSession:
             r2p = np.zeros(mp, np.int32)
             r2p[:m] = r2[sl]
             out = g(
-                self.ctiles_dev, self.ntiles_dev, self._tmap_dev,
+                self.stiles_dev, self._tmap_dev,
                 self._tmap_ncol, jax.device_put(r1p), jax.device_put(r2p),
             )
             parts.append(out[:m] if m != mp else out)

@@ -705,28 +705,29 @@ def host_pool_buf(name, shape, dtype=np.float32):
     return b[:need].reshape(shape)
 
 
-def assemble_windows_batch(ctiles, ntiles, tile_map, B, r1, r2, W,
-                           pool=None):
+def assemble_windows_batch(stiles, tile_map, B, r1, r2, W, pool=None):
     """Vectorized host twin of assemble_window for fixed-size windows:
     group snips by tile quad, build each 2B×2B superwindow once, and cut
-    all of its windows with one fancy gather — the per-snip np.block of
-    the old host stream allocated ~0.5 MB per snip and capped the
-    extension path at ~6k snips/s (VERDICT r4 #3). Returns float32
-    ``data`` [N, W, W] with the reference NaN/poison semantics applied
-    (masked & zero-count -> NaN, +inf poison kept, coolpup.py:1104–1156);
-    accumulators fold it in float64 downstream.
+    all of its windows with direct slice copies (~1.3 us per window; a
+    sliding_window_view fancy gather measured 6x slower and an
+    elementwise [m, W, W] index gather ~30x slower — the per-snip
+    np.block of the old host stream allocated ~0.5 MB per snip and
+    capped the extension path at ~6k snips/s, VERDICT r4 #3).
+
+    ``stiles`` is the single NaN-encoded normalized stack
+    (normalize_tile_stack), so the windows carry the reference NaN /
+    poison semantics directly. Returns float32 ``data`` [N, W, W];
+    accumulators fold it in float64 downstream. With ``pool``, reused
+    prefaulted buffers are returned — valid only until the next pooled
+    call with the same name (page faults cost ~50 us on this VM).
     """
     N = len(r1)
     r1 = np.asarray(r1, np.int64)
     r2 = np.asarray(r2, np.int64)
     if pool:
-        # reused prefaulted buffers; the returned array is only valid
-        # until the next pooled call with the same ``pool`` name
-        out_c = host_pool_buf(pool + ".c", (N, W, W))
-        out_n = host_pool_buf(pool + ".n", (N, W, W))
+        out = host_pool_buf(pool + ".s", (N, W, W))
     else:
-        out_c = np.empty((N, W, W), np.float32)
-        out_n = np.empty((N, W, W), np.float32)
+        out = np.empty((N, W, W), np.float32)
     t1, o1 = r1 // B, r1 % B
     t2, o2 = r2 // B, r2 % B
     ncol = tile_map.shape[1]
@@ -742,45 +743,20 @@ def assemble_windows_batch(ctiles, ntiles, tile_map, B, r1, r2, W,
             continue
         ids = order[lo:hi]
         tt1, tt2 = int(t1[ids[0]]), int(t2[ids[0]])
-        sup_c = np.block(
+        sup = np.block(
             [
-                [ctiles[tile_map[tt1, tt2]], ctiles[tile_map[tt1, tt2 + 1]]],
+                [stiles[tile_map[tt1, tt2]], stiles[tile_map[tt1, tt2 + 1]]],
                 [
-                    ctiles[tile_map[tt1 + 1, tt2]],
-                    ctiles[tile_map[tt1 + 1, tt2 + 1]],
+                    stiles[tile_map[tt1 + 1, tt2]],
+                    stiles[tile_map[tt1 + 1, tt2 + 1]],
                 ],
             ]
         )
-        sup_n = np.block(
-            [
-                [ntiles[tile_map[tt1, tt2]], ntiles[tile_map[tt1, tt2 + 1]]],
-                [
-                    ntiles[tile_map[tt1 + 1, tt2]],
-                    ntiles[tile_map[tt1 + 1, tt2 + 1]],
-                ],
-            ]
-        )
-        # direct slice copies: ~1.3 us per window (2 strided memcpys) —
-        # measured 6x faster than a sliding_window_view fancy gather and
-        # ~30x faster than an elementwise [m, W, W] index gather (numpy
-        # advanced indexing overhead dominates at these window sizes)
         for i, a, b in zip(
             ids.tolist(), o1[ids].tolist(), o2[ids].tolist()
         ):
-            out_c[i] = sup_c[a : a + W, b : b + W]
-            out_n[i] = sup_n[a : a + W, b : b + W]
-    if pool:
-        # in-place NaN masking through pooled bool scratch (a fresh
-        # np.where result would re-pay the page-fault storm)
-        keep = host_pool_buf(pool + ".m1", (N, W, W), bool)
-        inf = host_pool_buf(pool + ".m2", (N, W, W), bool)
-        np.greater(out_n, 0, out=keep)
-        np.isinf(out_c, out=inf)
-        keep |= inf
-        np.logical_not(keep, out=keep)
-        out_c[keep] = np.nan
-        return out_c
-    return np.where((out_n > 0) | np.isinf(out_c), out_c, np.nan)
+            out[i] = sup[a : a + W, b : b + W]
+    return out
 
 
 def assemble_window(tiles, tile_map, B, r1, r2, h, w):
@@ -809,21 +785,26 @@ def normalize_tile_stack(
     ignore_diags=2,
     frame_shift=0,
 ):
-    """Pre-normalize a tile stack on the host into (contribution, num) stacks.
+    """Pre-normalize a tile stack on the host into ONE NaN-encoded stack.
 
     For every materialized tile, applies the full per-pixel semantics of the
     reference hot loop (coolpup.py:1104–1156) — bad-bin masking, diagonal
     masking, OOE division — so the device kernel reduces to pure window cuts
     and accumulates with ONE kernel shape for all modes:
 
-      ctiles[k, x, y] = masked, OOE-divided value (inf kept at poison pixels,
-                        like the reference's sums; NaN -> 0 with num=0)
-      ntiles[k, x, y] = 1.0 where the pixel counts toward `num`
+      stiles[k, x, y] = OOE-divided value where the pixel counts (+inf kept
+                        at poison pixels, like the reference's sums),
+                        NaN where masked out or NaN-valued.
+
+    Consumers derive the old two-stack pair in-register:
+    contribution = where(isnan(s), 0, s); num = isfinite(s) — halving the
+    kernel's DMA/VMEM traffic and the stack HBM footprint (round 5).
 
     The diagonal index of pixel (x, y) in tile (tr, tc) is
     tr*B + x - (tc*B + y) + frame_shift (frame_shift = region-frame offset
     difference; 0 for same-region cis).
-    Returns (ctiles, ntiles) float32 [K+1, B, B].
+    Returns ``stiles`` float32 [K+1, B, B]; slot 0 (the shared zero/empty
+    tile) is all-NaN (contributes 0, counts 0).
     """
     B = ts.B
     tiles = ts.tiles
@@ -868,15 +849,9 @@ def normalize_tile_stack(
     else:
         val = tiles
 
-    finite = np.isfinite(val)
-    ntiles = (finite & (mask > 0)).astype(np.float32)
-    # keep +inf (poison) at masked-in pixels; avoid inf*0=NaN at masked-out
-    ctiles = np.where(
-        mask > 0, np.where(np.isnan(val), 0.0, val), 0.0
-    ).astype(np.float32)
-    ctiles[0] = 0.0
-    ntiles[0] = 0.0
-    return ctiles, ntiles
+    stiles = np.where(mask > 0, val, np.nan).astype(np.float32)
+    stiles[0] = np.nan
+    return stiles
 
 
 @lru_cache(maxsize=None)
@@ -916,12 +891,8 @@ def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
             val = tiles / ew
         else:
             val = tiles
-        finite = jnp.isfinite(val)
-        ntiles = (finite & (mask > 0)).astype(jnp.float32)
-        ctiles = jnp.where(
-            mask > 0, jnp.where(jnp.isnan(val), 0.0, val), 0.0
-        ).astype(jnp.float32)
-        return ctiles, ntiles
+        # single NaN-encoded stack (see normalize_tile_stack)
+        return jnp.where(mask > 0, val, jnp.nan).astype(jnp.float32)
 
     return f
 
@@ -969,7 +940,8 @@ def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
     (normalize_prep_device with matching ``k_pad``): every argument slices
     DEVICE arrays, so repeated normalizes over one region (the slab-prefix
     pipeline) ship no further host->device bytes. ``inv`` is the inverse
-    wire scale when ``tiles_dev`` is a scaled-f16 payload."""
+    wire scale when ``tiles_dev`` is a scaled-f16 payload. Returns the
+    single NaN-encoded ``stiles`` stack (see normalize_tile_stack)."""
     import jax
     import jax.numpy as jnp
 
@@ -984,20 +956,16 @@ def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
         B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
     )
     slab = min(slab, K_pad)
-    cparts, nparts = [], []
+    parts = []
     for lo in range(0, K_pad, slab):
         hi = min(lo + slab, K_pad)
-        c, n = f(
-            tiles_dev[lo:hi], trd[lo:hi], tcd[lo:hi], v1d, v2d, ed, inv
+        parts.append(
+            f(tiles_dev[lo:hi], trd[lo:hi], tcd[lo:hi], v1d, v2d, ed, inv)
         )
-        cparts.append(c)
-        nparts.append(n)
-    ctiles = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
-    ntiles = jnp.concatenate(nparts) if len(nparts) > 1 else nparts[0]
-    zero = jnp.zeros((1, B, B), jnp.float32)
-    ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
-    ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
-    return ctiles, ntiles
+    stiles = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    # slot 0 (shared zero/empty tile): contributes 0, counts 0 -> all-NaN
+    nanb = jnp.full((1, B, B), jnp.nan, jnp.float32)
+    return jax.lax.dynamic_update_slice(stiles, nanb, (0, 0, 0))
 
 
 def normalize_tiles_device(
@@ -1017,7 +985,7 @@ def normalize_tiles_device(
     stack (e.g. the sym-expanded upper-triangle upload): same per-pixel
     semantics, no further host->device tile transfer. ``tiles_dev`` is
     [K_pad, B, B]; padding slots normalize to garbage but are never
-    referenced by ``tile_map``. Slot 0 is re-zeroed. Composes
+    referenced by ``tile_map``. Slot 0 is re-set to all-NaN. Composes
     normalize_prep_device + normalize_tiles_from_prep (one definition of
     the semantics)."""
     prep = normalize_prep_device(
@@ -1050,8 +1018,8 @@ def normalize_tile_stack_device(
     rides the VPU instead of host numpy); ``f16_mode`` halves it again by
     shipping scaled f16 when safe (cast_tiles_f16). Slabs of `slab` tiles
     keep device intermediates bounded for large regions; every slab reuses
-    one compiled shape. Returns (ctiles, ntiles) as device arrays,
-    [K+1, B, B] float32.
+    one compiled shape. Returns the NaN-encoded ``stiles`` device array,
+    [K+1, B, B] float32 (see normalize_tile_stack).
     """
     import jax
     import jax.numpy as jnp
@@ -1107,18 +1075,16 @@ def normalize_tile_stack_device(
         trp = np.concatenate([tr, np.zeros(kpad - K1, np.int32)])
         tcp = np.concatenate([tc, np.zeros(kpad - K1, np.int32)])
 
-    cparts, nparts = [], []
+    parts = []
     for lo in range(0, kpad, slab):
         sl = slice(lo, lo + slab)
-        c, n = f(
-            jax.device_put(tilesp[sl]), trp[sl], tcp[sl], v1d, v2d, ed, inv
+        parts.append(
+            f(jax.device_put(tilesp[sl]), trp[sl], tcp[sl], v1d, v2d, ed,
+              inv)
         )
-        cparts.append(c)
-        nparts.append(n)
-    ctiles = jnp.concatenate(cparts)[:K1] if len(cparts) > 1 else cparts[0][:K1]
-    ntiles = jnp.concatenate(nparts)[:K1] if len(nparts) > 1 else nparts[0][:K1]
-    # stack slot 0 is the shared all-zero tile: no data, no counts
-    zero = jnp.zeros((1, B, B), jnp.float32)
-    ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
-    ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
-    return ctiles, ntiles
+    stiles = (
+        jnp.concatenate(parts)[:K1] if len(parts) > 1 else parts[0][:K1]
+    )
+    # stack slot 0 is the shared zero/empty tile: no data, no counts
+    nanb = jnp.full((1, B, B), jnp.nan, jnp.float32)
+    return jax.lax.dynamic_update_slice(stiles, nanb, (0, 0, 0))

@@ -49,8 +49,8 @@ def make_sharded_normalize_halo(
     ppermute. Inputs (leading axis n = mesh "loci" size, sharded):
     ``tiles`` [n, D0, B, B], ``tr``/``tc`` [n, D0] global tile coordinates
     per local slot, ``send_idx`` [n, Hcap]; replicated per-bin ``v1``/``v2``
-    and ``epad``. Returns (ctiles, ntiles) [n, D2, B, B] sharded, where
-    D2 >= D0 + Hcap (zero-padded)."""
+    and ``epad``. Returns the single NaN-encoded ``stiles`` [n, D2, B, B]
+    sharded, where D2 >= D0 + Hcap (padding slots all-NaN)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -87,28 +87,20 @@ def make_sharded_normalize_halo(
             val = tiles / ew
         else:
             val = tiles
-        finite = jnp.isfinite(val)
-        ntiles = (finite & (mask > 0)).astype(jnp.float32)
-        ctiles = jnp.where(
-            mask > 0, jnp.where(jnp.isnan(val), 0.0, val), 0.0
-        ).astype(jnp.float32)
-        # slot 0 is the shared all-zero tile: no data, no counts
-        zero = jnp.zeros((1, B, B), jnp.float32)
-        ctiles = jax.lax.dynamic_update_slice(ctiles, zero, (0, 0, 0))
-        ntiles = jax.lax.dynamic_update_slice(ntiles, zero, (0, 0, 0))
+        stiles = jnp.where(mask > 0, val, jnp.nan).astype(jnp.float32)
+        # slot 0 is the shared zero/empty tile: contributes 0, counts 0
+        nanb = jnp.full((1, B, B), jnp.nan, jnp.float32)
+        stiles = jax.lax.dynamic_update_slice(stiles, nanb, (0, 0, 0))
 
-        send_c = ctiles[send_idx]
-        send_n = ntiles[send_idx]
+        send_s = stiles[send_idx]
         if n > 1:
-            halo_c = jax.lax.ppermute(send_c, "loci", perm)
-            halo_n = jax.lax.ppermute(send_n, "loci", perm)
+            halo_s = jax.lax.ppermute(send_s, "loci", perm)
         else:
-            halo_c, halo_n = send_c, send_n
+            halo_s = send_s
         pad = D2 - D0 - Hcap
-        zpad = jnp.zeros((pad, B, B), jnp.float32)
-        cfull = jnp.concatenate([ctiles, halo_c, zpad], axis=0)
-        nfull = jnp.concatenate([ntiles, halo_n, zpad], axis=0)
-        return cfull[None], nfull[None]
+        npad = jnp.full((pad, B, B), jnp.nan, jnp.float32)
+        sfull = jnp.concatenate([stiles, halo_s, npad], axis=0)
+        return sfull[None]
 
     shard = P("loci")
     rep = P()
@@ -116,7 +108,7 @@ def make_sharded_normalize_halo(
         local,
         mesh,
         in_specs=(shard,) * 4 + (rep,) * 3,
-        out_specs=(shard, shard),
+        out_specs=shard,
     )
     return jax.jit(sharded)
 
@@ -134,12 +126,11 @@ def make_sharded_pallas_step(cfg: PallasGatherConfig, mesh, tiles_sharded):
 
     call = _make_pallas_call(cfg)
 
-    def local(k00, k01, k10, k11, qstart, qcount, snip, ctiles, ntiles):
-        ct = ctiles[0] if tiles_sharded else ctiles
-        nt = ntiles[0] if tiles_sharded else ntiles
+    def local(k00, k01, k10, k11, qstart, qcount, snip, stiles):
+        st = stiles[0] if tiles_sharded else stiles
         s, num = call(
             k00[0], k01[0], k10[0], k11[0], qstart[0], qcount[0],
-            snip[0], ct, nt,
+            snip[0], st,
         )
         return {
             "sum": jax.lax.psum(s, "loci"),
@@ -152,7 +143,7 @@ def make_sharded_pallas_step(cfg: PallasGatherConfig, mesh, tiles_sharded):
     sharded = _shard_map(
         local,
         mesh,
-        in_specs=(shard,) * 7 + (tile_spec,) * 2,
+        in_specs=(shard,) * 7 + (tile_spec,),
         out_specs={"sum": rep, "num": rep},
     )
     return jax.jit(sharded)
@@ -184,10 +175,9 @@ def make_sharded_stripe_gather_step(W, B, f16, mode, mesh,
     else:
         core = make_stripe_gather(W, B, f16, mode == "v")
 
-    def local(r1, r2, tmap, ncolp, ctiles, ntiles):
-        ct = ctiles[0] if tiles_sharded else ctiles
-        nt = ntiles[0] if tiles_sharded else ntiles
-        return core(ct, nt, tmap[0], ncolp, r1[0], r2[0])[None]
+    def local(r1, r2, tmap, ncolp, stiles):
+        st = stiles[0] if tiles_sharded else stiles
+        return core(st, tmap[0], ncolp, r1[0], r2[0])[None]
 
     shard = P("loci")
     rep = P()
@@ -195,7 +185,7 @@ def make_sharded_stripe_gather_step(W, B, f16, mode, mesh,
     sharded = _shard_map(
         local,
         mesh,
-        in_specs=(shard, shard, shard, rep, tile_spec, tile_spec),
+        in_specs=(shard, shard, shard, rep, tile_spec),
         out_specs=shard,
     )
     return jax.jit(sharded)
@@ -251,7 +241,7 @@ class PallasMeshSession:
             from ..ops.tiles import normalize_tile_stack_device
 
             rep = NamedSharding(mesh, P())
-            ct, nt = normalize_tile_stack_device(
+            st = normalize_tile_stack_device(
                 tile_stack, valid1, valid2, evec=evec, ooe=ooe, cis=cis,
                 ignore_diags=ignore_diags,
             )
@@ -261,11 +251,11 @@ class PallasMeshSession:
             if K_pad != K1:
                 import jax.numpy as jnp
 
-                zpad = jnp.zeros((K_pad - K1, B, B), jnp.float32)
-                ct = jnp.concatenate([ct, zpad])
-                nt = jnp.concatenate([nt, zpad])
-            self.ctiles = jax.device_put(ct, rep)
-            self.ntiles = jax.device_put(nt, rep)
+                zpad = jnp.full(
+                    (K_pad - K1, B, B), jnp.nan, jnp.float32
+                )
+                st = jnp.concatenate([st, zpad])
+            self.stiles = jax.device_put(st, rep)
             self.tile_maps = np.broadcast_to(
                 tile_stack.tile_map.ravel(),
                 (n, tile_stack.tile_map.size),
@@ -285,7 +275,7 @@ class PallasMeshSession:
             )
             shard = NamedSharding(mesh, P("loci"))
             rep = NamedSharding(mesh, P())
-            self.ctiles, self.ntiles = norm(
+            self.stiles = norm(
                 jax.device_put(part.tiles, shard),
                 jax.device_put(tr, shard),
                 jax.device_put(tc, shard),
@@ -359,7 +349,7 @@ class PallasMeshSession:
                     batch["qstart"], batch["qcount"], snip,
                 )
             )
-            out = step(*args, self.ctiles, self.ntiles)
+            out = step(*args, self.stiles)
             total = (
                 out if total is None else jax.tree.map(jnp.add, total, out)
             )
@@ -409,7 +399,7 @@ class PallasMeshSession:
                 r2c[d, : len(part)] = r2_rows[d][lo : lo + S]
             out = step(
                 jax.device_put(r1c, shard), jax.device_put(r2c, shard),
-                tmap_dev, ncolp, self.ctiles, self.ntiles,
+                tmap_dev, ncolp, self.stiles,
             )
             call_planes.append(out)
         stacked = (

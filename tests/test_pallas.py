@@ -85,7 +85,7 @@ def test_device_normalize_matches_host_and_clips_padded_valid():
     valid = (rng.random(n) > 0.1).astype(np.float32)
     evec = (10.0 / (1.0 + np.arange(n))).astype(np.float32)
 
-    want_c, want_n = normalize_tile_stack(
+    want_s = normalize_tile_stack(
         ts, valid, valid, evec=evec, ooe=True, cis=True, ignore_diags=2
     )
     # pow2-padded inputs, longer than the tile extent
@@ -93,12 +93,15 @@ def test_device_normalize_matches_host_and_clips_padded_valid():
     vpad[:n] = valid
     epad = np.full(16384, np.nan, np.float32)
     epad[:n] = evec
-    got_c, got_n = normalize_tile_stack_device(
+    got_s = np.asarray(normalize_tile_stack_device(
         ts, vpad, vpad, evec=epad, ooe=True, cis=True, ignore_diags=2,
         slab=4,  # force the multi-slab path too
+    ))
+    np.testing.assert_array_equal(np.isnan(got_s), np.isnan(want_s))
+    fin = ~np.isnan(want_s)
+    np.testing.assert_allclose(
+        got_s[fin], want_s[fin], rtol=1e-6, atol=1e-6
     )
-    np.testing.assert_allclose(np.asarray(got_c), want_c, rtol=1e-6, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(got_n), want_n)
 
 
 def _oracle_sums(coo, r1, r2, cid, valid, evec, W, C, ignore_diags=2):
@@ -416,17 +419,17 @@ def test_device_normalize_f16_wire():
     ts = build_tile_stack(coo, B, r1=r1, r2=r2, window1=W, window2=W)
     valid = (rng.random(n) > 0.1).astype(np.float32)
     evec = (10.0 / (1.0 + np.arange(n))).astype(np.float32)
-    want_c, want_n = normalize_tile_stack(
+    want_s = normalize_tile_stack(
         ts, valid, valid, evec=evec, ooe=True, cis=True, ignore_diags=2
     )
-    got_c, got_n = normalize_tile_stack_device(
+    got_s = np.asarray(normalize_tile_stack_device(
         ts, valid, valid, evec=evec, ooe=True, cis=True, ignore_diags=2,
         f16_mode="exact",
-    )
-    fin = np.isfinite(want_c)
-    np.testing.assert_array_equal(np.asarray(got_n), want_n)
+    ))
+    np.testing.assert_array_equal(np.isnan(got_s), np.isnan(want_s))
+    fin = np.isfinite(want_s)
     np.testing.assert_allclose(
-        np.asarray(got_c)[fin], want_c[fin], rtol=1e-6, atol=1e-6
+        got_s[fin], want_s[fin], rtol=1e-6, atol=1e-6
     )
 
 
