@@ -605,6 +605,16 @@ class PileUpper:
         valid2 = padded(
             (~self.clr.bad_bin_mask(r2c, self.clr_weight_name)).astype(np.float32)
         )
+        # cleaned balancing-weight vectors (0 at bad bins): the int8
+        # raw-count wire folds weights ON DEVICE, where these replace the
+        # 0/1 valid vectors (mask>0 gating is identical)
+        w1 = w2 = None
+        if self.clr_weight_name:
+            wall_ = self.clr._clean_weights(self.clr_weight_name)
+            lo1g, hi1g = self.clr.extent(r1c)
+            lo2g, hi2g = self.clr.extent(r2c)
+            w1 = padded(wall_[lo1g:hi1g])
+            w2 = padded(wall_[lo2g:hi2g])
 
         if self.coverage_norm:
             cov1 = padded(
@@ -635,6 +645,8 @@ class PileUpper:
             n2=n2,
             valid1=valid1,
             valid2=valid2,
+            w1=w1,
+            w2=w2,
             cov1=cov1,
             cov2=cov2,
             evec=evec,
@@ -671,12 +683,44 @@ class PileUpper:
             return False
         return "lossy" if self.clr_weight_name else "exact"
 
+    def _tile_wire_plan(self, dev):
+        """Wire mode + device-weight-fold decision for a staged region.
+
+        With ``tile_int8=True`` (OPT-IN), balanced cis regions whose
+        STORED counts are provably small integers (int-typed cooler
+        counts, max <= 127 — checked on the slab's value array, ~5 ms)
+        ship RAW int8 counts (quarter of the f32 wire) and fold the
+        balancing weights on device (ops/tiles fold_weights: the weight
+        vectors replace the 0/1 valid vectors). NOT the default: an A/B
+        on the genome workload measured int8 ~30% SLOWER end-to-end
+        (935k -> 680k snips/s at a 44 MB/s link) — the device-side
+        int8->f32 upconvert in the sym expansion costs more than the
+        halved wire saves here; it may win on far slower links.
+        Everything else uses the f16 wire (_tile_f16_mode).
+        Returns (mode, valid1, valid2)."""
+        mode = self._tile_f16_mode()
+        slab = dev.get("slab")
+        if (
+            getattr(self, "tile_int8", False)
+            and mode == "lossy"
+            and dev.get("w1") is not None
+            and dev.get("cis")
+            and getattr(slab, "mirror", False)
+            and getattr(self.clr, "counts_are_int", False)
+            and slab.nnz > 0
+        ):
+            vmax = float(slab.vals.max())
+            vmin = float(slab.vals.min())
+            if 0.0 <= vmin and vmax <= 127.0:
+                return "int8", dev["w1"], dev["w2"]
+        return mode, dev["valid1"], dev["valid2"]
+
     def _window_bins(self):
         """Window size in bins for the non-rescaled path (reference
         make_outmap, coolpup.py:1007–1022)."""
         return 2 * self.pad_bins + 1
 
-    def _build_pallas_stack(self, dev, B, **kw):
+    def _build_pallas_stack(self, dev, B, raw_counts=False, **kw):
         """Tile stack for the pallas session: cis regions take the
         upper-triangle build (half the scatter + half the upload; the
         device mirrors the lower tiles — ops/tiles.SymTileStack).
@@ -684,8 +728,22 @@ class PileUpper:
         (ops/tiles.CooTileStack) when the per-pixel payload undercuts the
         dense tile payload — trans feature products cover nearly every
         tile of a mostly-empty rectangle, so dense staging shipped 10-30x
-        the region's pixel bytes (round-4 trans was bound there)."""
+        the region's pixel bytes (round-4 trans was bound there).
+        ``raw_counts`` scatters WITHOUT the weight fold (int8 wire; the
+        device folds weights during normalization)."""
+        import dataclasses
+
         slab = dev["slab"]
+        if (
+            raw_counts
+            and dev["cis"]
+            and getattr(slab, "mirror", False)
+            and getattr(slab, "weights", None) is not None
+        ):
+            # int8 wire: scatter raw counts; weights fold on device.
+            # Only the sym cis branch understands this contract
+            slab = dataclasses.replace(slab, weights=None)
+            dev = dict(dev, slab=slab)
         if dev["cis"] and getattr(slab, "mirror", False):
             r1 = kw.get("r1")
             if r1 is not None and len(r1) > 2_000_000 and not self.rescale:
@@ -874,16 +932,20 @@ class PileUpper:
                 worst = np.maximum(np.abs(e1 - t2), np.abs(t1 - e2))
                 return bool((worst <= kband).all())
 
+        wire_mode, wv1, wv2 = self._tile_wire_plan(dev)
+
         def build():
             kw = (
                 dict(want=want) if want is not None
                 else dict(band=band_bins)
             )
-            tile_stack = self._build_pallas_stack(dev, PALLAS_B, **kw)
+            tile_stack = self._build_pallas_stack(
+                dev, PALLAS_B, raw_counts=(wire_mode == "int8"), **kw
+            )
             session = PallasPileupSession(
                 tile_stack,
-                dev["valid1"],
-                dev["valid2"],
+                wv1,
+                wv2,
                 dev["evec"],
                 dict(
                     W=W,
@@ -892,7 +954,8 @@ class PileUpper:
                     ignore_diags=int(self.ignore_diags),
                     ooe=bool(self.expected and self.ooe),
                     interpret=interpret,
-                    tile_f16=self._tile_f16_mode(),
+                    tile_f16=wire_mode,
+                    fold_weights=(wire_mode == "int8"),
                 ),
             )
             return session, tile_stack
@@ -1431,9 +1494,11 @@ class PileUpper:
                 with tile_ctx:
                     from ..ops.pallas_gather import PALLAS_B
 
+                    wire_mode0 = self._tile_wire_plan(dev)[0]
                     tile_stack = self._build_pallas_stack(
                         dev,
                         PALLAS_B,
+                        raw_counts=(wire_mode0 == "int8"),
                         r1=arr["r1"],
                         r2=arr["r2"],
                         window1=W,
@@ -1740,10 +1805,16 @@ class PileUpper:
         # a trash slot absorbs padding snips so every sub-chunk has the same
         # length (distinct lengths recompile)
         trash = capacity
+        # the wire decision must match how tile_stack was scattered
+        # (pileup_region built it with the same plan)
+        wire_mode, wv1, wv2 = self._tile_wire_plan(dev)
+        raw_wire = wire_mode == "int8" and getattr(
+            tile_stack, "upper", None
+        ) is not None
         session = PallasPileupSession(
             tile_stack,
-            dev["valid1"],
-            dev["valid2"],
+            wv1 if raw_wire else dev["valid1"],
+            wv2 if raw_wire else dev["valid2"],
             dev["evec"],
             dict(
                 W=W,
@@ -1752,7 +1823,9 @@ class PileUpper:
                 ignore_diags=int(self.ignore_diags),
                 ooe=bool(self.expected and self.ooe),
                 interpret=self.backend == "pallas-interpret",
-                tile_f16=self._tile_f16_mode(),
+                tile_f16=wire_mode if raw_wire or wire_mode != "int8"
+                else False,
+                fold_weights=raw_wire,
             ),
         )
 

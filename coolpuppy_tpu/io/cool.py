@@ -112,6 +112,12 @@ class Cooler:
             self._chrom_offset = grp["indexes/chrom_offset"][:].astype(np.int64)
             self.n_bins = int(grp["bins/start"].shape[0])
             self.n_pixels = int(grp["pixels/bin1_id"].shape[0])
+            # stored-count dtype: integer counts (the standard cooler
+            # schema) make exact integer wire compression provable from
+            # a cheap max check (ints <= 2^24 survive the f32 read)
+            self.counts_are_int = (
+                grp["pixels/count"].dtype.kind in "iu"
+            )
         self._bins_df = None
         self._bin1_offset = None
         self._n_bins = self.n_bins

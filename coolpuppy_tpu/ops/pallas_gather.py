@@ -501,6 +501,7 @@ class PallasPileupSession:
             ignore_diags = cfg_kw.pop("ignore_diags", 2)
             frame_shift = cfg_kw.pop("frame_shift", 0)
             cfg_kw.pop("tile_f16", None)  # baked into the wire values
+            cfg_kw.pop("fold_weights", None)  # COO folds weights on host
             self.cfg_kw = cfg_kw
             K_pad = max(64, _ceil_pow2(tile_stack.k1))
             nnz = tile_stack.nnz
@@ -539,6 +540,7 @@ class PallasPileupSession:
             ignore_diags = cfg_kw.pop("ignore_diags", 2)
             frame_shift = cfg_kw.pop("frame_shift", 0)
             tile_f16 = cfg_kw.pop("tile_f16", False)
+            fold_weights = cfg_kw.pop("fold_weights", False)
             self.cfg_kw = cfg_kw
             K1 = tile_stack.n_tiles + 1
             K_pad = max(64, 1 << int(np.ceil(np.log2(max(1, K1)))))
@@ -556,6 +558,7 @@ class PallasPileupSession:
                 cis=cis,
                 ignore_diags=ignore_diags,
                 frame_shift=frame_shift,
+                fold_weights=fold_weights,
             )
             return
         # pad the stack depth to pow2: K rides the kernel's input signature,
@@ -582,6 +585,7 @@ class PallasPileupSession:
         ignore_diags = cfg_kw.pop("ignore_diags", 2)
         frame_shift = cfg_kw.pop("frame_shift", 0)
         tile_f16 = cfg_kw.pop("tile_f16", False)
+        cfg_kw.pop("fold_weights", None)  # dense non-sym folds on host
         self.cfg_kw = cfg_kw
         if device_normalize:
             from .tiles import normalize_tile_stack_device
@@ -616,7 +620,10 @@ class PallasPileupSession:
         self = cls.__new__(cls)
         self.tile_stack = tile_stack
         cfg_kw = dict(cfg_kw)
-        for k in ("ooe", "cis", "ignore_diags", "frame_shift", "tile_f16"):
+        for k in (
+            "ooe", "cis", "ignore_diags", "frame_shift", "tile_f16",
+            "fold_weights",
+        ):
             cfg_kw.pop(k, None)
         self.cfg_kw = cfg_kw
         self.stiles_dev = stiles_dev
@@ -663,6 +670,7 @@ class PallasPileupSession:
         ignore_diags = cfg_kw.pop("ignore_diags", 2)
         frame_shift = cfg_kw.pop("frame_shift", 0)
         tile_f16 = cfg_kw.pop("tile_f16", False)
+        fold_weights = cfg_kw.pop("fold_weights", False)
         Q_CAP = 64 if interpret else 128
         if interpret:
             chunk = min(chunk, max(64, _ceil_pow2(max(1, len(r1)))))
@@ -681,13 +689,30 @@ class PallasPileupSession:
         # it overlaps the previous slab's async transfer — casting the
         # whole stack up front serialized ~0.2-0.3 s in front of the
         # upload and ate most of the wire win
-        from .tiles import cast_slab_f16, f16_wire_plan
+        from .tiles import cast_slab_f16, cast_tiles_int8, f16_wire_plan
 
-        plan = f16_wire_plan(sym.upper, tile_f16) if tile_f16 else None
         inv = np.float32(1.0)
         upper = np.zeros((Ku_pad, B, B), np.float32)
         upper[:Ku] = sym.upper
         slabs = []
+        if tile_f16 == "int8":
+            # engine-proven exact integer counts <= 127: quarter of the
+            # f32 wire, cast per slab like the f16 path
+            for i in range(n_slabs):
+                wire = cast_tiles_int8(
+                    upper[i * slab_rows : (i + 1) * slab_rows]
+                )
+                if wire is None:
+                    slabs = []
+                    break
+                slabs.append(jax.device_put(wire))
+            if slabs:
+                tile_f16 = False  # wire settled
+            else:
+                tile_f16 = "exact"  # misjudged: raw ints still f16-exact
+        plan = f16_wire_plan(sym.upper, tile_f16) if tile_f16 else None
+        if slabs:
+            plan = None
         if plan is not None:
             scale, inv = plan
             for i in range(n_slabs):
@@ -701,7 +726,7 @@ class PallasPileupSession:
                     slabs = []
                     break
                 slabs.append(jax.device_put(wire))
-        if plan is None:
+        if plan is None and not slabs:
             slabs = [
                 jax.device_put(upper[i * slab_rows : (i + 1) * slab_rows])
                 for i in range(n_slabs)
@@ -752,6 +777,7 @@ class PallasPileupSession:
                 built["stacks"] = normalize_tiles_from_prep(
                     full, prep, B, ooe=ooe, cis=cis,
                     ignore_diags=ignore_diags, frame_shift=frame_shift,
+                    fold_weights=fold_weights,
                 )
             return built["stacks"]
 

@@ -148,6 +148,27 @@ def cast_tiles_f16(tiles, mode):
     return wire, inv
 
 
+def cast_tiles_int8(tiles):
+    """int8 wire for RAW integer count tiles (weights NOT folded): exact
+    whenever every value is an integer <= 127 — true for most Hi-C maps
+    away from very coarse bins. ONE QUARTER of the f32 payload and half
+    of f16; the device folds the balancing weights during normalization
+    (fold_weights). Returns the int8 array or None (fall back to f16/f32
+    wire)."""
+    if tiles.size == 0:
+        return tiles.astype(np.int8)
+    amax = float(tiles.max())
+    amin = float(tiles.min())
+    if not (np.isfinite(amax) and np.isfinite(amin)):
+        return None
+    if amin < -127 or amax > 127:
+        return None
+    wire = tiles.astype(np.int8)
+    if not np.array_equal(wire.astype(np.float32), tiles):
+        return None
+    return wire
+
+
 @lru_cache(maxsize=8)
 def _make_expand_sym_fn(B, diag_full):
     import jax
@@ -173,7 +194,8 @@ def expand_sym_device(sym: SymTileStack, k_pad=None, f16_mode=False):
     """Upload the upper tiles and materialize the FULL raw stack on device
     (one [K_pad, B, B] device array; K_pad pow2 so downstream kernel
     signatures stay pinned). ``f16_mode`` ships the tiles as scaled f16
-    when safe (see cast_tiles_f16)."""
+    when safe (see cast_tiles_f16); ``"int8"`` ships raw integer counts
+    as int8 (engine-proven exact; quarter of f32)."""
     import jax
 
     from .gather import pad_pow2
@@ -181,7 +203,15 @@ def expand_sym_device(sym: SymTileStack, k_pad=None, f16_mode=False):
     K1 = len(sym.src)
     if k_pad is None:
         k_pad = max(64, 1 << int(np.ceil(np.log2(max(1, K1)))))
-    cast = cast_tiles_f16(sym.upper, f16_mode)
+    cast = None
+    if f16_mode == "int8":
+        wire = cast_tiles_int8(sym.upper)
+        if wire is not None:
+            cast = wire, np.float32(1.0)
+        else:  # engine misjudged: raw ints still ship exact f16
+            cast = cast_tiles_f16(sym.upper, "exact")
+    elif f16_mode:
+        cast = cast_tiles_f16(sym.upper, f16_mode)
     if cast is not None:
         upper_w, inv = cast
     else:
@@ -855,19 +885,27 @@ def normalize_tile_stack(
 
 
 @lru_cache(maxsize=None)
-def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift):
+def _make_normalize_slab_fn(B, ooe, cis, ignore_diags, frame_shift,
+                            fold_weights=False):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def f(tiles, tr, tc, v1, v2, epad, inv):
-        # f16 wire payloads upconvert + unscale on entry (inv = pow2
-        # inverse scale from cast_tiles_f16; 1.0 for f32 payloads)
+        # f16/int8 wire payloads upconvert + unscale on entry (inv = pow2
+        # inverse scale from cast_tiles_f16; 1.0 for f32/int payloads)
         tiles = tiles.astype(jnp.float32) * inv
         ar = jnp.arange(B, dtype=jnp.int32)
         rows = tr[:, None] * B + ar[None, :]  # [k, B]
         cols = tc[:, None] * B + ar[None, :]
         mask = v1[rows][:, :, None] * v2[cols][:, None, :]
+        if fold_weights:
+            # int8 raw-count wire: v1/v2 carry the CLEANED balancing
+            # weights (0 at bad bins) instead of 0/1 valid flags, so
+            # ``mask`` is both the gate (mask > 0 <=> both bins valid)
+            # and the per-pixel weight product — same multiply order as
+            # the native host scatter (w[r]*w[c] first, then * count)
+            tiles = tiles * mask
         diag = rows[:, :, None] - cols[:, None, :] + frame_shift
         if cis and ignore_diags > 0:
             mask = mask * (jnp.abs(diag) >= ignore_diags)
@@ -935,7 +973,7 @@ def normalize_prep_device(tile_map, B, valid1, valid2, evec=None,
 
 def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
                               ignore_diags=2, frame_shift=0, slab=1024,
-                              inv=None):
+                              inv=None, fold_weights=False):
     """normalize_tiles_device over pre-uploaded index/vector arrays
     (normalize_prep_device with matching ``k_pad``): every argument slices
     DEVICE arrays, so repeated normalizes over one region (the slab-prefix
@@ -953,7 +991,8 @@ def normalize_tiles_from_prep(tiles_dev, prep, B, ooe=False, cis=True,
         "normalize_prep_device must be built with k_pad == tiles_dev depth"
     )
     f = _make_normalize_slab_fn(
-        B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift)
+        B, bool(ooe), bool(cis), int(ignore_diags), int(frame_shift),
+        bool(fold_weights),
     )
     slab = min(slab, K_pad)
     parts = []
@@ -980,6 +1019,7 @@ def normalize_tiles_device(
     ignore_diags=2,
     frame_shift=0,
     slab=1024,
+    fold_weights=False,
 ):
     """normalize_tile_stack_device over an ALREADY-device-resident raw
     stack (e.g. the sym-expanded upper-triangle upload): same per-pixel
@@ -995,6 +1035,7 @@ def normalize_tiles_device(
     return normalize_tiles_from_prep(
         tiles_dev, prep, B, ooe=ooe, cis=cis,
         ignore_diags=ignore_diags, frame_shift=frame_shift, slab=slab,
+        fold_weights=fold_weights,
     )
 
 

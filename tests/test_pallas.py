@@ -509,3 +509,147 @@ def test_coo_tile_stack_matches_dense():
         got16["sum"][:8][fin], want_out["sum"][:8][fin],
         rtol=2e-3, atol=1e-4,
     )
+
+
+def test_int8_raw_wire_fold_weights_matches():
+    """int8 raw-count wire + device weight fold == the host-folded f32
+    path (f32 rounding order only): session-level parity through the
+    full run_many dispatch."""
+    from coolpuppy_tpu.io.cool import PixelSlab
+    from coolpuppy_tpu.ops.pallas_gather import PallasPileupSession
+    from coolpuppy_tpu.ops.tiles import (
+        build_tile_stack_slab_sym,
+        cast_tiles_int8,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 700
+    W, B = 21, 128
+    nnz = 9000
+    rows = rng.integers(0, n, nnz).astype(np.int64)
+    cols = rng.integers(0, n, nnz).astype(np.int64)
+    lo = np.minimum(rows, cols)
+    hi = np.maximum(rows, cols)
+    key = lo * n + hi
+    _, first = np.unique(key, return_index=True)
+    rows, cols = lo[first], hi[first]  # stored upper triangle
+    vals = (rng.poisson(3.0, len(rows)) + 1).astype(np.float32)
+    weights = rng.uniform(0.5, 1.5, n)
+    weights[rng.random(n) < 0.05] = np.nan
+    wclean = np.nan_to_num(weights).astype(np.float32)
+
+    S = 600
+    r1 = rng.integers(0, n - W, S).astype(np.int32)
+    r2 = rng.integers(0, n - W, S).astype(np.int32)
+    cid = rng.integers(0, 4, S).astype(np.int32)
+    valid = (wclean > 0).astype(np.float32)
+    evec = (4.0 / (1.0 + np.arange(n))).astype(np.float32)
+    kw = dict(W=W, capacity=8, cis=True, ignore_diags=2, ooe=True,
+              interpret=True)
+
+    slab_w = PixelSlab(rows=rows, cols=cols, vals=vals, lo1=0, lo2=0,
+                       shape=(n, n), weights=wclean, mirror=True)
+    sym_w = build_tile_stack_slab_sym(
+        slab_w, B, r1=r1, r2=r2, window1=W, window2=W
+    )
+    want = PallasPileupSession(
+        sym_w, valid, valid, evec, dict(kw)
+    ).run_many(r1, r2, cid)
+
+    slab_raw = PixelSlab(rows=rows, cols=cols, vals=vals, lo1=0, lo2=0,
+                         shape=(n, n), weights=None, mirror=True)
+    sym_raw = build_tile_stack_slab_sym(
+        slab_raw, B, r1=r1, r2=r2, window1=W, window2=W
+    )
+    assert cast_tiles_int8(sym_raw.upper) is not None  # counts <= 127
+    got = PallasPileupSession(
+        sym_raw, wclean, wclean, evec,
+        dict(kw, tile_f16="int8", fold_weights=True),
+    ).run_many(r1, r2, cid)
+    np.testing.assert_array_equal(got["num"][:8], want["num"][:8])
+    fin = np.isfinite(want["sum"][:8])
+    np.testing.assert_allclose(
+        got["sum"][:8][fin], want["sum"][:8][fin], rtol=2e-6, atol=1e-6
+    )
+    # poison pixels agree
+    np.testing.assert_array_equal(
+        got["poison"][:8] > 0, want["poison"][:8] > 0
+    )
+
+
+def test_int8_wire_engine_parity():
+    """Engine-level int8 wire: force the mode past the accelerator gate
+    on a balanced cooler with SMALL integer counts (<= 127, the int8
+    precondition) and compare the full pileup output (device weight fold
+    vs host fold: f32 rounding only)."""
+    import os
+    import sys
+    import tempfile
+
+    import pandas as pd
+
+    sys.path.insert(0, "tests")
+    from coolpuppy_tpu import CoordCreator, PileUpper
+    from coolpuppy_tpu.io import Cooler, write_cool
+
+    rng = np.random.default_rng(23)
+    binsize = 1_000_000
+    n = 60
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "toy_i8.cool")
+    i, j = np.triu_indices(n)
+    lam = 10.0 / (1.0 + np.abs(i - j)) + 0.5
+    vals = rng.poisson(lam)
+    keep = vals > 0
+    weights = rng.uniform(0.5, 1.5, n)
+    weights[rng.random(n) < 0.05] = np.nan
+    write_cool(
+        path, {"chrT": n * binsize}, binsize,
+        (i[keep], j[keep], vals[keep]), weights=weights,
+    )
+    clr = Cooler(path)
+    assert clr.counts_are_int
+
+    starts = np.sort(rng.choice(np.arange(5, n - 5), 12, replace=False))
+    feats = pd.DataFrame({
+        "chrom": "chrT", "start": starts * binsize,
+        "end": (starts + 1) * binsize, "name": "x", "score": 0,
+        "strand": rng.choice(["+", "-"], 12),
+    })
+
+    def run(force_int8):
+        cc = CoordCreator(
+            feats, binsize, features_format="bed",
+            flank=3 * binsize, nshifts=0, mindist=0, seed=0,
+        )
+        pu = PileUpper(
+            clr, cc, backend="pallas-interpret", expected=False,
+            control=False,
+        )
+        if force_int8:
+            pu.tile_int8 = True
+            pu._tile_f16_mode = lambda: "lossy"  # past the CPU gate
+            probe = {}
+            orig = pu._tile_wire_plan
+
+            def spy(dev):
+                out = orig(dev)
+                probe["mode"] = out[0]
+                return out
+
+            pu._tile_wire_plan = spy
+            res = pu.pileupsWithControl()
+            assert probe.get("mode") == "int8", probe
+            return res.set_index("group").loc["all"]
+        return pu.pileupsWithControl().set_index("group").loc["all"]
+
+    a = run(False)
+    b = run(True)
+    assert a["n"] == b["n"] > 0
+    np.testing.assert_array_equal(a["num"], b["num"])
+    fin = np.isfinite(np.asarray(a["data"], float))
+    np.testing.assert_allclose(
+        np.asarray(b["data"], float)[fin],
+        np.asarray(a["data"], float)[fin],
+        rtol=2e-6, atol=1e-7,
+    )
