@@ -11,15 +11,21 @@ def _tune_allocator():
     on free, so every large temporary re-pays first-touch page faults —
     ~50 us apiece on virtualized hosts, which made a fresh 180 MB pixel
     read cost ~0.8 s and a 245 MB window stack ~3 s (round-5 profiles).
-    Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps those buffers on the
-    heap where freed blocks are reused already-faulted; memory stays at
-    the high-water mark, which the streaming engine bounds by design."""
+    Raising M_MMAP_THRESHOLD keeps those buffers on the heap where freed
+    blocks are reused already-faulted; the 256 MB trim threshold still
+    returns memory to the OS once more than that sits free at the heap
+    top, so host applications that import this library are not pinned at
+    their high-water mark. Set COOLPUPPY_TPU_NO_MALLOC_TUNE=1 to skip
+    entirely (the engine then simply runs with default glibc behavior)."""
     import ctypes
+    import os
 
+    if os.environ.get("COOLPUPPY_TPU_NO_MALLOC_TUNE"):
+        return
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        libc.mallopt(-1, 256 << 20)  # M_TRIM_THRESHOLD
     except Exception:
         pass
 

@@ -34,20 +34,30 @@ DEFAULT_BAND_EDGES = np.append([0], 50000 * 2 ** np.arange(30))
 
 
 def _chrom_as_str_categorical(col):
-    """Chromosome column -> categorical with python-str categories.
+    """Chromosome column -> categorical with python-str categories in
+    LEXICOGRAPHIC order.
 
     Equivalent to the reference's ``astype(str)`` (coolpup.py:270, 276) for
     every downstream consumer (equality filters, set/unique membership,
-    grouping, label formatting), but O(unique) instead of O(rows): a plain
+    grouping, label formatting, sort order — categories are reordered to
+    str order so categorical sorts match astype(str) sorts even for
+    numeric chrom columns), but O(unique) instead of O(rows): a plain
     astype(str) on a 2M-row Arrow-backed bedpe column iterates per element
-    (~3 s of the round-4 bedpe wall was exactly that)."""
+    (~3 s of the round-4 bedpe wall was exactly that). Distinct values
+    whose str() forms collide (e.g. 1 and "1") fall back to the
+    reference's elementwise cast."""
     if isinstance(col.dtype, pd.CategoricalDtype):
         cat = col
     else:
         cat = col.astype("category")
-    cats = cat.cat.categories
-    if not all(isinstance(x, str) for x in cats):
-        cat = cat.cat.rename_categories([str(x) for x in cats])
+    cats = list(cat.cat.categories)
+    strcats = [x if isinstance(x, str) else str(x) for x in cats]
+    if len(set(strcats)) != len(strcats):
+        return col.astype(str).astype("category")
+    if strcats != cats:
+        cat = cat.cat.rename_categories(strcats)
+    if strcats != sorted(strcats):
+        cat = cat.cat.reorder_categories(sorted(strcats))
     return cat
 
 

@@ -527,22 +527,10 @@ def build_tile_stack_coo(slab, B, want, f16_mode=False):
 
     inv = np.float32(1.0)
     if f16_mode and len(vals):
-        with np.errstate(invalid="ignore"):
-            amax = float(np.nanmax(np.abs(vals)))
-        if np.isfinite(amax) and amax > 0.0:
-            scale = np.float32(
-                2.0 ** (13 - int(np.ceil(np.log2(amax) + 1e-12)))
-            )
-            wire = (vals * scale).astype(np.float16)
-            ok = True
-            if f16_mode == "exact":
-                ok = np.array_equal(
-                    wire.astype(np.float32) * np.float32(1.0 / scale),
-                    vals, equal_nan=True,
-                )
-            if ok:
-                vals = wire
-                inv = np.float32(1.0 / scale)
+        # same scale selection + exactness rules as the dense tile wire
+        cast = cast_tiles_f16(vals, f16_mode)
+        if cast is not None:
+            vals, inv = cast
     return CooTileStack(
         idx=idx, vals=vals, inv_scale=inv, tile_map=tile_map, B=B,
         shape=(n1, n2), k1=K + 1,

@@ -158,8 +158,63 @@ def main():
             assert sizes.max() < 15
     print(f"   groups: {sorted(by_class.index)}")
 
+    # -- the vectorized per-snip-data hook (round 5) ---------------------
+    print("== 4. postprocess_batch_func: per-snip data at batch speed")
+    # fixed-size windows around TAD boundaries; the batch hook sees each
+    # chunk's [N, W, W] float32 window stack aligned with the frame and
+    # computes the center score as ONE vectorized line (~50-100x the
+    # per-snip dict stream's throughput; see BENCH_REPORT)
+    bounds = pd.DataFrame(
+        {
+            "chrom": "chr1",
+            "start": edges[1:-1] * binsize,
+            "end": (edges[1:-1] + 1) * binsize,
+        }
+    )
+    cc3 = CoordCreator(
+        bounds, binsize, features_format="bed", flank=5 * binsize,
+        nshifts=0, mindist=0, maxdist=100 * binsize,
+    )
+    pu3 = PileUpper(clr, cc3, expected=False, control=False)
+
+    def batch_center(frame, data):
+        frame = frame.copy(deep=False)
+        mid = data.shape[1] // 2
+        frame["center"] = np.nansum(
+            data[:, mid - 1 : mid + 2, mid - 1 : mid + 2], axis=(1, 2)
+        )
+        return frame
+
+    pups3 = pu3.pileupsWithControl(
+        postprocess_batch_func=batch_center,
+        extra_sum_funcs={"center": partial(accumulate_values, key="center")},
+    )
+    rb = pups3.set_index("group").loc["all"]
+
+    # identical semantics to the per-snip dict hook, snip for snip
+    def snip_center(snip):
+        mid = snip["data"].shape[0] // 2
+        snip["center"] = float(
+            np.nansum(snip["data"][mid - 1 : mid + 2, mid - 1 : mid + 2])
+        )
+        return snip
+
+    pu3b = PileUpper(clr, cc3, expected=False, control=False)
+    pups3b = pu3b.pileupsWithControl(
+        postprocess_snip_func=snip_center,
+        extra_sum_funcs={"center": partial(accumulate_values, key="center")},
+    )
+    rs = pups3b.set_index("group").loc["all"]
+    assert rb["n"] == rs["n"] > 0
+    np.testing.assert_allclose(
+        np.sort(np.asarray(rb["center"], float)),
+        np.sort(np.asarray(rs["center"], float)),
+        rtol=1e-5, atol=1e-6,
+    )
+    print(f"   n={rb['n']} batch==snip center scores verified")
+
     # -- save / reload / plot --------------------------------------------
-    print("== 4. save .clpy, reload, plot")
+    print("== 5. save .clpy, reload, plot")
     clpy = os.path.join(tmp, "tads_rescaled.clpy")
     save_pileup_df(clpy, pups)
     back = load_pileup_df(clpy)
