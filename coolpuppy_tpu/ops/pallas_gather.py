@@ -22,12 +22,14 @@ per-snip dynamic-slice overhead. This kernel exploits snip locality instead:
    provable 8/128 alignment and non-pow2 sublane rolls rotate into tile
    padding), an in-register not-NaN/isfinite split, and two
    dynamic-indexed accumulates into VMEM-resident [C, W, W] group
-   accumulators. Measured inner-loop rate ~7.1M snips/s per chip at W=21
-   — invariant to removing the second cut, to quad/DMA churn, and to
-   unroll 1/2/4, i.e. bound by the per-snip dependent roll->slice->
-   accumulate latency chain (~135 cycles), not by vector-op count, HBM,
-   or dispatch (see BENCH_REPORT roofline). The single stack still
-   halves stack HBM/DMA and the normalize/staging work.
+   accumulators, SOFTWARE-PIPELINED 16 snips wide: each snip's
+   over-slice -> roll -> roll chain is ~135 cycles of serial latency and
+   one-at-a-time processing capped the loop at ~7.1M snips/s regardless
+   of vector-op count, DMA churn, or sequential unroll; issuing 16
+   independent cut chains before their (snip-ordered, bit-identical)
+   accumulates overlaps the chains for a measured 16.3M snips/s at W=21
+   (see BENCH_REPORT roofline). The single stack additionally halves
+   stack HBM/DMA and the normalize/staging work.
 4. Per-snip and per-quad scalars ride in SMEM via scalar prefetch;
    accumulator blocks are constant across the sequential TPU grid, so
    accumulation needs no atomics.
@@ -65,7 +67,9 @@ class PallasGatherConfig:
     capacity: int
     interpret: bool = False
     B: int = PALLAS_B
-    unroll: int = 2  # inner-loop unroll
+    # software-pipeline width: independent cut chains in flight per
+    # inner-loop block (the knee is ~16 at W=21; see the kernel body)
+    unroll: int = 16
 
     def __post_init__(self):
         # W + alignment headroom must fit the superwindow rows
@@ -124,9 +128,13 @@ def _make_pallas_call(cfg: PallasGatherConfig):
             # pow2 over-slice and rotate into place (non-pow2 sublane rolls
             # rotate into tile padding on hardware)
             WA = 1 << int(np.ceil(np.log2(W + 8)))
+            SMAX = snip.shape[0] - 1
 
-            def one_snip(j):
-                s = qstart[q] + j
+            def cut(j):
+                # clamped read: past-cnt lanes of the last pipeline block
+                # read the zero-padded call buffer (decodes to offsets 0,
+                # group 0) — their accumulates are guarded below
+                s = jnp.minimum(qstart[q] + j, SMAX)
                 # per-snip scalars ride ONE packed int32 in SMEM:
                 # bits [24:31)=row offset, [17:24)=col offset, [0:17)=group id
                 # (one upload + one SMEM read per snip instead of three; the
@@ -137,10 +145,11 @@ def _make_pallas_call(cfg: PallasGatherConfig):
                 g = v & 0x1FFFF
                 a_al = pl.multiple_of((a // 8) * 8, 8)
                 a_off = a - a_al
-
                 rows = ssup[pl.ds(a_al, WA), :]  # [WA, 2B]
                 rows = pltpu.roll(rows, -a_off, 0)
-                sw = pltpu.roll(rows, -b, 1)[0:W, 0:W]
+                return g, pltpu.roll(rows, -b, 1)[0:W, 0:W]
+
+            def acc(g, sw):
                 # NaN -> contributes 0, counts 0; +inf poison -> sum only
                 fin = sw == sw  # not-NaN (cheaper than isnan+not)
                 sum_ref[g] = sum_ref[g] + jnp.where(fin, sw, 0.0)
@@ -148,15 +157,25 @@ def _make_pallas_call(cfg: PallasGatherConfig):
                     fin & (jnp.abs(sw) != jnp.inf)
                 ).astype(jnp.float32)
 
+            # SOFTWARE PIPELINING, the round-5 2.3x: issue U independent
+            # cut chains back-to-back, THEN their accumulates. Each
+            # snip's over-slice -> roll -> roll chain is ~135 cycles of
+            # serial latency; one-at-a-time processing (any unroll) never
+            # overlapped them (7.1M snips/s). With the chains interleaved
+            # the measured rate scales 10.8M (U=2) -> 13.8M (4) -> 16.5M
+            # (16, the knee) at W=21, bit-identical outputs. Accumulates
+            # stay in snip order, so flip-bank/group semantics and float
+            # summation order are unchanged.
             U = cfg.unroll
 
             def body(blk, _):
-                for u in range(U):
-                    j = blk * U + u
+                js = [blk * U + u for u in range(U)]
+                cuts = [cut(j) for j in js]
+                for j, (g, sw) in zip(js, cuts):
 
                     @pl.when(j < cnt)
-                    def _(j=j):
-                        one_snip(j)
+                    def _(g=g, sw=sw):
+                        acc(g, sw)
 
                 return 0
 
