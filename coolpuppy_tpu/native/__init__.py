@@ -10,6 +10,14 @@ import numpy as np
 
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_ingest.so")
 
+# Leave one core for the engine's main thread: the OpenMP scatter runs on
+# the staging worker WHILE the main thread generates coordinates and packs
+# dispatches, and using every core oversubscribes the host — a genome A/B
+# on the 2-core bench host measured 716k (2 OMP threads) vs 916k snips/s
+# (1). Explicit OMP_NUM_THREADS wins if the user set one.
+if "OMP_NUM_THREADS" not in os.environ:
+    os.environ["OMP_NUM_THREADS"] = str(max(1, (os.cpu_count() or 2) - 1))
+
 tile_scatter = None
 tile_scatter_wtri = None
 enumerate_pairs = None
